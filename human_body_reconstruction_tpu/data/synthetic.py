@@ -1,0 +1,89 @@
+"""Procedural synthetic scenes for tests and benchmarks.
+
+The environment ships no lego/tiny-nerf data, so correctness is proven on
+procedural volumes rendered analytically with the SAME compositing math:
+train the field on GT images of a known emissive volume and require high
+PSNR (SURVEY.md section 4, golden-image integration tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from human_body_reconstruction_tpu.ops import compositing, rays as rays_lib
+
+
+def look_at_pose(eye, target=(0.0, 0.0, 0.0), up=(0.0, 0.0, 1.0)):
+    """OpenGL-style c2w (camera looks down its -z) as (4, 4) float32."""
+    eye = np.asarray(eye, np.float64)
+    target = np.asarray(target, np.float64)
+    up = np.asarray(up, np.float64)
+    fwd = eye - target                       # camera -z points at target
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(up, fwd)
+    right = right / np.linalg.norm(right)
+    true_up = np.cross(fwd, right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = true_up
+    c2w[:3, 2] = fwd
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def orbit_poses(n: int, radius: float = 4.0, elevation: float = 0.5):
+    """n poses on a circle around the origin at the given elevation."""
+    poses = []
+    for k in range(n):
+        th = 2 * np.pi * k / n
+        eye = (radius * np.cos(th), radius * np.sin(th), elevation * radius)
+        poses.append(look_at_pose(eye))
+    return np.stack(poses)
+
+
+def blob_field(pts):
+    """Analytic emissive volume: two coloured Gaussian blobs.
+
+    Returns (rgb (N, 3), sigma (N,)).
+    """
+    c1 = jnp.asarray([0.35, 0.0, 0.0])
+    c2 = jnp.asarray([-0.35, 0.2, 0.1])
+    d1 = jnp.sum((pts - c1) ** 2, axis=-1)
+    d2 = jnp.sum((pts - c2) ** 2, axis=-1)
+    s1 = 40.0 * jnp.exp(-d1 / (2 * 0.3 ** 2))
+    s2 = 30.0 * jnp.exp(-d2 / (2 * 0.25 ** 2))
+    sigma = s1 + s2
+    w1 = s1 / (sigma + 1e-9)
+    rgb = (w1[..., None] * jnp.asarray([0.9, 0.3, 0.2]) +
+           (1 - w1)[..., None] * jnp.asarray([0.2, 0.5, 0.9]))
+    return rgb, sigma
+
+
+def render_gt_image(H: int, W: int, K, c2w, field=blob_field,
+                    near: float = 2.0, far: float = 6.0,
+                    num_samples: int = 256):
+    """Ground-truth render of the analytic field (dense uniform sampling)."""
+    o, d, n = rays_lib.full_image_rays(H, W, K, jnp.asarray(c2w))
+    t = jnp.linspace(near, far, num_samples)
+    t = jnp.broadcast_to(t, (o.shape[0], num_samples))
+    pts = o[:, None, :] + d[:, None, :] * t[..., None]
+    rgb, sigma = field(pts.reshape(-1, 3))
+    rgb = rgb.reshape(o.shape[0], num_samples, 3)
+    sigma = sigma.reshape(o.shape[0], num_samples)
+    C, _, _ = compositing.composite(t, rgb, sigma, n)
+    return np.asarray(C).reshape(H, W, 3)
+
+
+def make_dataset(n_views: int = 8, H: int = 48, W: int = 48,
+                 focal: float = 55.0, near: float = 2.0, far: float = 6.0):
+    """Full tiny synthetic dataset: images + poses + intrinsics."""
+    K = jnp.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                    jnp.float32)
+    c2ws = orbit_poses(n_views)
+    images = np.stack([
+        render_gt_image(H, W, K, c2ws[k], near=near, far=far)
+        for k in range(n_views)])
+    return {"images": jnp.asarray(images), "c2ws": jnp.asarray(c2ws),
+            "K": K, "H": H, "W": W, "near": near, "far": far}

@@ -1,0 +1,148 @@
+"""End-to-end radiance-field forward passes (hash NeRF + classic NeRF).
+
+The functional equivalent of reference ``Volume_Renderer.vol_render``
+(vol_renderer.py:141-245): stratified sampling -> encode -> MLP ->
+alpha compositing, with an optional hierarchical second pass and optional
+SDF mode.  Everything is static-shaped and jit-friendly; occupancy
+culling is a multiplicative density mask.
+
+Model/scene state:
+  params = {"table": (L,T,F), "mlp": {...}[, "var": {"b"}]}
+  scene  = {"mu": (3,) or scalar, "sigma": scalar,
+            "min_bound": (3,), "max_bound": (3,)}
+(mu = min_bound, sigma = ||max-min||_2 in the trainer, matching
+reference train_hash2.py:117-119.)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from human_body_reconstruction_tpu.models import mlp as mlp_lib
+from human_body_reconstruction_tpu.ops import compositing, occupancy, positional, sampling
+from human_body_reconstruction_tpu.ops import hash_encoding as he
+from human_body_reconstruction_tpu.utils.config import PipelineConfig
+
+
+def encode_points(params, scene, pts, cfg: PipelineConfig):
+    """(N, 3) world points -> (N, L*F) hash features."""
+    return he.hash_encode(params["table"], pts, scene["mu"], scene["sigma"],
+                          cfg.hash)
+
+
+def field_forward(params, scene, pts, dirs_enc, cfg: PipelineConfig,
+                  compute_dtype=None):
+    """(rgb (N,3), density (N,)) at world points with encoded view dirs."""
+    feats = encode_points(params, scene, pts, cfg)
+    return mlp_lib.apply_mlp3d(params["mlp"], feats, dirs_enc, cfg.mlp,
+                               compute_dtype=compute_dtype)
+
+
+def density_only(params, scene, pts, cfg: PipelineConfig, compute_dtype=None):
+    """Density branch only — used by occupancy updates and mesh export."""
+    feats = encode_points(params, scene, pts, cfg)
+    raw, _ = mlp_lib.mlp3d_density(params["mlp"], feats, cfg.mlp,
+                                   compute_dtype=compute_dtype)
+    return mlp_lib.apply_density_activation(raw, cfg.mlp)[..., 0]
+
+
+def sdf_finite_difference_normals(params, scene, pts, cfg: PipelineConfig,
+                                  eps: float = 5e-4, compute_dtype=None):
+    """Central-difference gradient of the SDF head, batched over the six
+    offsets in ONE forward pass (reference runs six sequential forwards,
+    test_hash.py:86-105).  Points are clamped to the scene bounds as in
+    the reference.  Needed because the hash encoder detaches its
+    interpolation fractions, so analytic d(field)/dx is identically zero.
+    """
+    lo, hi = scene["min_bound"], scene["max_bound"]
+    offs = jnp.concatenate([jnp.eye(3), -jnp.eye(3)]) * eps        # (6, 3)
+    q = jnp.clip(pts[:, None, :] + offs[None, :, :], lo, hi)        # (N, 6, 3)
+    d = density_only(params, scene, q.reshape(-1, 3), cfg,
+                     compute_dtype=compute_dtype).reshape(-1, 6)
+    return (d[:, :3] - d[:, 3:]) / (2.0 * eps)                      # (N, 3)
+
+
+def _render_pass(params, scene, rays_o, rays_d, dir_norm, t,
+                 cfg: PipelineConfig, occ: Optional[occupancy.OccupancyGrid],
+                 compute_dtype):
+    """One encode->MLP->composite pass at the given t samples (B, S)."""
+    B, S = t.shape
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]    # (B,S,3)
+    dirs_enc = positional.positional_encode(
+        rays_d, cfg.dir_enc.num_freq, cfg.dir_enc.mode)             # (B, dv)
+    dirs_rep = jnp.broadcast_to(dirs_enc[:, None, :],
+                                (B, S, dirs_enc.shape[-1]))
+    rgb, density = field_forward(
+        params, scene, pts.reshape(B * S, 3),
+        dirs_rep.reshape(B * S, -1), cfg, compute_dtype=compute_dtype)
+    rgb = rgb.reshape(B, S, 3)
+    density = density.reshape(B, S)
+    if occ is not None:
+        m = occupancy.lookup(occ, pts, scene["mu"], scene["sigma"])
+        density = density * m
+    if cfg.render.use_sdf:
+        color, weights, trans = compositing.composite_sdf(
+            t, rgb, density, params["var"]["b"], dir_norm)
+    else:
+        color, weights, trans = compositing.composite(
+            t, rgb, density, dir_norm,
+            sigma_clip_min=cfg.render.sigma_clip_min,
+            white_background=cfg.render.white_background)
+    return color, weights, density, pts
+
+
+def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
+                cfg: PipelineConfig, *, num_samples: Optional[int] = None,
+                hierarchical: Optional[bool] = None,
+                occ: Optional[occupancy.OccupancyGrid] = None,
+                jitter: bool = True, compute_dtype=None):
+    """Render a ray batch.  Returns a dict with coarse/fine colours.
+
+    Equivalent capability to reference ``vol_render``
+    (vol_renderer.py:141-245) returning (Cr, Cf, norm); here:
+      out["coarse"], out["fine"] (== coarse when not hierarchical),
+      out["eikonal_norm"] (SDF mode only), plus weights for diagnostics.
+    """
+    S = cfg.render.num_samples if num_samples is None else num_samples
+    hier = cfg.render.hierarchical if hierarchical is None else hierarchical
+    k_strat, k_fine = jax.random.split(key)
+    B = rays_o.shape[0]
+    t = sampling.stratified_ts(
+        k_strat, (B,), cfg.render.near, cfg.render.far, S,
+        per_ray_jitter=cfg.render.per_ray_jitter,
+        log_sampling=cfg.render.log_sampling, jitter=jitter)
+
+    coarse, weights, density, pts = _render_pass(
+        params, scene, rays_o, rays_d, dir_norm, t, cfg, occ, compute_dtype)
+
+    out = {"coarse": coarse, "weights": weights, "t": t}
+
+    if hier:
+        n_fine = cfg.render.num_fine_samples or S
+        t_fine = sampling.hierarchical_ts(
+            k_fine, t, jax.lax.stop_gradient(weights), n_fine)
+        fine, fweights, fdensity, fpts = _render_pass(
+            params, scene, rays_o, rays_d, dir_norm, t_fine, cfg, occ,
+            compute_dtype)
+        out["fine"] = fine
+        out["fine_weights"] = fweights
+        sdf_pts = fpts
+    else:
+        out["fine"] = coarse
+        sdf_pts = pts
+
+    if cfg.render.use_sdf:
+        mid = sdf_pts.reshape(-1, 3)
+        grads = sdf_finite_difference_normals(params, scene, mid, cfg,
+                                              compute_dtype=compute_dtype)
+        out["eikonal_norm"] = jnp.sqrt(
+            jnp.sum(grads ** 2, axis=-1) + 1e-12)   # helper.py:293-297
+    return out
+
+
+def eikonal_loss(norm):
+    """mean((|grad| - 1)^2) (reference helper.py:298-299)."""
+    return jnp.mean((norm - 1.0) ** 2)

@@ -1,0 +1,136 @@
+"""Multiresolution hash-grid encoding (Instant-NGP style), pure jnp.
+
+Rebuilds the capability of reference ``hash_encoding.py`` TPU-first:
+
+  * ONE stacked table of shape (L, T, F) instead of L separate
+    nn.Embedding modules, so the per-level Python loop
+    (reference hash_encoding.py:152-165, 16 sequential gather launches)
+    becomes a single batched gather that XLA tiles well,
+  * the spatial hash uses explicit uint32 wraparound arithmetic
+    ``(x0*p0) ^ (x1*p1) ^ (x2*p2) mod T`` with the Instant-NGP primes
+    [1, 2654435761, 805459861] (reference hash_encoding.py:24, 41-55 gets
+    the same family of hash via int64 + int32-overflowed constants),
+  * T is a power of two so `mod T` is a bitwise AND,
+  * corner enumeration / n-linear weights use the same bin-mask formulation
+    as the reference (hash_encoding.py:34-39, 135, 142-144): corner c uses
+    floor coords where bit d of c is 0 and weights prod(where(bit==0,
+    1-frac, frac)),
+  * interpolation fractions are stop_gradient'ed, matching the reference's
+    ``diff.detach()`` (hash_encoding.py:160).
+
+Levels: N_l = n_min * b**l, b = exp((ln n_max - ln n_min)/(L-1))
+(reference hash_encoding.py:13, 153).  Inputs are normalised as
+(x - mu) / sigma before scaling by N_l (reference hash_encoding.py:154).
+
+A fused Pallas TPU kernel with identical semantics lives in
+``ops/hash_pallas.py``; this module is the reference implementation it is
+tested against.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from human_body_reconstruction_tpu.utils.config import HashConfig
+
+# Instant-NGP spatial-hash primes (reference hash_encoding.py:24).
+PRIMES = (1, 2654435761, 805459861)
+
+
+def level_scales(cfg: HashConfig) -> np.ndarray:
+    """Per-level resolutions N_l (float64 on host, static)."""
+    if cfg.num_levels == 1:
+        return np.asarray([float(cfg.n_min)])
+    b = np.exp((np.log(cfg.n_max) - np.log(cfg.n_min)) / (cfg.num_levels - 1))
+    return cfg.n_min * b ** np.arange(cfg.num_levels)
+
+
+def init_table(key, cfg: HashConfig, dtype=jnp.float32):
+    """(L, T, F) table, U(-init_scale, init_scale) (ref hash_encoding.py:32)."""
+    return jax.random.uniform(
+        key, (cfg.num_levels, cfg.table_size, cfg.features_per_level),
+        dtype=dtype, minval=-cfg.init_scale, maxval=cfg.init_scale)
+
+
+def _corner_offsets(dim: int) -> np.ndarray:
+    """(2**dim, dim) binary corner offsets; offset bit d of corner c is
+    bit d of c (so corner 0 is the floor corner — the complement of the
+    reference's bin_mask convention, same enumeration)."""
+    corners = np.arange(2 ** dim)
+    dims = np.arange(dim)
+    return ((corners[:, None] >> dims[None, :]) & 1).astype(np.int32)
+
+
+def hash_corner_indices(coords_u32, table_size: int):
+    """Spatial hash of integer grid coords into [0, T).
+
+    Args:
+      coords_u32: (..., dim) uint32 grid coordinates.
+      table_size: power-of-two table size T.
+    Returns:
+      (...,) uint32 indices.
+    """
+    dim = coords_u32.shape[-1]
+    acc = coords_u32[..., 0] * jnp.uint32(PRIMES[0])
+    for d in range(1, dim):
+        acc = acc ^ (coords_u32[..., d] * jnp.uint32(PRIMES[d]))
+    return acc & jnp.uint32(table_size - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def hash_encode(table, x, mu, sigma, cfg: HashConfig):
+    """Encode points with the multiresolution hash grid.
+
+    TPU layout note: every large intermediate keeps the point axis N in
+    the minor-most (lane) dimension — arrays shaped (dim, L, N), (L, N)
+    and (F, L, N) tile perfectly onto the (8, 128) VPU registers, whereas
+    the naive (N, L, C, F) gather output has a minor dim of F=2 that the
+    TPU would lane-pad 64x (observed as a 34 GB allocation for a 0.5 GB
+    gather).  The 2**dim corner contributions are accumulated in an
+    unrolled loop so no (..., C, F) tensor is ever materialised.
+
+    Args:
+      table: (L, T, F) feature table.
+      x: (N, dim) points.
+      mu: broadcastable offset (scene min-bound in the trainer,
+        reference train_hash2.py:117).
+      sigma: broadcastable scale (scene diagonal, train_hash2.py:119).
+      cfg: static HashConfig.
+    Returns:
+      (N, L*F) encoded features, dtype of ``table``.
+    """
+    L, T, F = table.shape
+    dim = cfg.dim
+    N = x.shape[0]
+
+    scales = jnp.asarray(level_scales(cfg), dtype=jnp.float32)   # (L,)
+    xn = ((x.astype(jnp.float32) - mu) / sigma).T                # (dim, N)
+    xl = xn[:, None, :] * scales[None, :, None]                  # (dim, L, N)
+    x0f = jnp.floor(xl)
+    frac = jax.lax.stop_gradient(xl - x0f)                       # (dim, L, N)
+    x0 = x0f.astype(jnp.int32)
+
+    offsets = _corner_offsets(dim)                               # host (C, dim)
+    # Features-major transposed table so the gather output is (F, L, N).
+    table_t = table.transpose(2, 0, 1).reshape(F, L * T)
+    level_offsets = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))
+
+    acc = jnp.zeros((F, L, N), dtype=table.dtype)
+    for c in range(2 ** dim):
+        off = offsets[c]                                         # (dim,) 0/1
+        coord = (x0 + jnp.asarray(off[:, None, None])).astype(jnp.uint32)
+        idx = coord[0] * jnp.uint32(PRIMES[0])                   # (L, N)
+        for d in range(1, dim):
+            idx = idx ^ (coord[d] * jnp.uint32(PRIMES[d]))
+        idx = idx & jnp.uint32(T - 1)
+        flat = (idx + level_offsets[:, None]).astype(jnp.int32)  # (L, N)
+        feats = jnp.take(table_t, flat, axis=1)                  # (F, L, N)
+        w = jnp.ones((L, N), dtype=jnp.float32)
+        for d in range(dim):
+            w = w * (frac[d] if off[d] else (1.0 - frac[d]))
+        acc = acc + feats * w[None].astype(table.dtype)
+    return acc.transpose(2, 1, 0).reshape(N, L * F)

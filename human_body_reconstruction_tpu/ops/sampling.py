@@ -1,0 +1,105 @@
+"""Ray sampling: stratified + true inverse-CDF hierarchical (pure jnp).
+
+Rebuilds reference ``strat_sampler`` (helper.py:210-237) and
+``hierarchical_sampling`` (helper.py:23-51).  Two deliberate fixes over
+the reference (SURVEY.md "known defects"):
+
+  * the reference draws ONE jitter vector shared by every ray in the
+    batch (``t`` has shape (num_samples,)); we jitter per ray by default,
+  * the reference's "hierarchical" resampler indexes an unrelated
+    uniform sample vector by CDF bucket (helper.py:43-45) instead of
+    inverting the CDF; we implement the standard piecewise-linear
+    inverse-CDF resampling (sample_pdf from the NeRF paper).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_ts(key, batch_shape, near, far, num_samples: int,
+                  per_ray_jitter: bool = True, log_sampling: bool = False,
+                  jitter: bool = True, dtype=jnp.float32):
+    """Stratified samples along rays.
+
+    Returns t of shape batch_shape + (num_samples,).  With
+    ``per_ray_jitter=False`` and ``batch_shape=()`` this reproduces the
+    reference's single shared t-vector (helper.py:234-235):
+    ``t = linspace(tn, tf, S) + rand(S) * (tf - tn) / S``.
+    """
+    near = jnp.asarray(near, dtype)
+    far = jnp.asarray(far, dtype)
+    if log_sampling:
+        base = jnp.linspace(jnp.log(near), jnp.log(far), num_samples,
+                            dtype=dtype)
+        step = (jnp.log(far) - jnp.log(near)) / num_samples
+    else:
+        base = jnp.linspace(near, far, num_samples, dtype=dtype)
+        step = (far - near) / num_samples
+    if jitter:
+        shape = (tuple(batch_shape) if per_ray_jitter else ()) + (num_samples,)
+        u = jax.random.uniform(key, shape, dtype=dtype)
+    else:
+        u = jnp.zeros((num_samples,), dtype=dtype)
+    t = base + u * step
+    if log_sampling:
+        t = jnp.exp(t)
+    return jnp.broadcast_to(t, tuple(batch_shape) + (num_samples,))
+
+
+def sample_pdf(key, bins, weights, num_samples: int, *,
+               deterministic: bool = False, eps: float = 1e-5):
+    """Inverse-CDF sampling of a piecewise-constant pdf (per ray).
+
+    Args:
+      bins: (..., S) sorted bin positions (coarse t values).
+      weights: (..., S-1) non-negative bin weights.
+      num_samples: number of new samples to draw per ray.
+    Returns:
+      (..., num_samples) new t values within [bins[0], bins[-1]].
+    """
+    weights = jnp.maximum(weights, 0.0) + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+    if deterministic:
+        u = jnp.linspace(0.0, 1.0 - 1e-6, num_samples)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_samples,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (num_samples,),
+                               maxval=1.0 - 1e-6)
+
+    # searchsorted per ray (vmappable; cdf is sorted along the last axis).
+    idx = jnp.sum(u[..., None, :] >= cdf[..., :, None], axis=-2)
+    below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
+    above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, jnp.clip(below, 0, bins.shape[-1] - 1), axis=-1)
+    bins_above = jnp.take_along_axis(bins, jnp.clip(above, 0, bins.shape[-1] - 1), axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-8, 1.0, denom)
+    frac = (u - cdf_below) / denom
+    return bins_below + frac * (bins_above - bins_below)
+
+
+def hierarchical_ts(key, t_coarse, weights, num_fine: int):
+    """Merge coarse t values with importance-resampled fine t values.
+
+    Capability parity with reference ``hierarchical_sampling``
+    (helper.py:23-51): given coarse weights, draw ``num_fine`` new samples
+    concentrated where weight mass is, concatenate with the coarse
+    samples and sort (helper.py:47).  Weights of length S are reduced to
+    the S-1 interior bins by taking the leading S-1 entries.
+
+    Returns t of shape (..., S + num_fine), sorted ascending.
+    """
+    bins = t_coarse
+    w = weights[..., : bins.shape[-1] - 1]
+    t_fine = sample_pdf(key, bins, w, num_fine)
+    t_all = jnp.concatenate([t_coarse, t_fine], axis=-1)
+    return jnp.sort(t_all, axis=-1)

@@ -1,0 +1,123 @@
+"""Jitted training / eval steps for the hash-NeRF trainer.
+
+Replaces the reference's host-side step loop (train_hash2.py:193-306):
+
+  * ray generation happens ON DEVICE from sampled (image, pixel) indices
+    — the reference instead precomputes every ray of the dataset into
+    host RAM (train_hash2.py:74-99, README "requires large amount of
+    RAM"); index-based sampling has identical semantics (uniform over
+    all rays of all images) with no host loop and no H2D ray traffic,
+  * loss = MSE(coarse, gt) + MSE(fine, gt) (+ eikonal in SDF mode)
+    (train_hash2.py:221-224),
+  * one fused jit: sample -> rays -> encode -> MLP -> composite -> loss
+    -> grads -> optimizer update, bf16 compute / fp32 params (the TPU
+    analog of the reference's fp16 GradScaler autocast,
+    train_hash2.py:192, 218-239).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from human_body_reconstruction_tpu.models import nerf
+from human_body_reconstruction_tpu.ops import compositing, rays as rays_lib
+from human_body_reconstruction_tpu.train.state import TrainState
+from human_body_reconstruction_tpu.utils.config import PipelineConfig
+
+
+def sample_ray_batch(key, images, c2ws, K, batch: int):
+    """Uniformly sample `batch` (image, pixel) pairs and build their rays.
+
+    Args:
+      images: (N, H, W, 3) float32 in [0, 1], device-resident.
+      c2ws: (N, 4, 4).
+    Returns:
+      (rays_o, rays_d, dir_norm, gt) each (batch, ...).
+    """
+    N, H, W = images.shape[:3]
+    k1, k2 = jax.random.split(key)
+    img_idx = jax.random.randint(k1, (batch,), 0, N)
+    pix_idx = jax.random.randint(k2, (batch,), 0, H * W)
+    j = pix_idx // W
+    i = pix_idx % W
+    c2w = c2ws[img_idx]
+    o, d, n = rays_lib.rays_for_pixels(i.astype(jnp.float32),
+                                       j.astype(jnp.float32), K, c2w)
+    gt = images[img_idx, j, i]
+    return o, d, n, gt
+
+
+def loss_fn(params, scene, batch, key, cfg: PipelineConfig, occ,
+            compute_dtype):
+    rays_o, rays_d, dir_norm, gt = batch
+    out = nerf.render_rays(params, scene, rays_o, rays_d, dir_norm, key,
+                           cfg, occ=occ, compute_dtype=compute_dtype)
+    loss = (jnp.mean((out["coarse"] - gt) ** 2) +
+            jnp.mean((out["fine"] - gt) ** 2))
+    aux = {"mse": jnp.mean((out["fine"] - gt) ** 2)}
+    if cfg.render.use_sdf:
+        eik = nerf.eikonal_loss(out["eikonal_norm"])
+        loss = loss + cfg.train.eikonal_weight * eik
+        aux["eikonal"] = eik
+    aux["psnr"] = compositing.psnr(out["fine"], gt)
+    return loss, aux
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "batch_size"),
+                   donate_argnames=("state",))
+def train_step(state: TrainState, scene, images, c2ws, K, key,
+               cfg: PipelineConfig, tx, batch_size: int):
+    """One fused optimization step. Returns (new_state, metrics)."""
+    compute_dtype = (jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16"
+                     else None)
+    k_batch, k_render = jax.random.split(jax.random.fold_in(key, state.step))
+    batch = sample_ray_batch(k_batch, images, c2ws, K, batch_size)
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, scene, batch, k_render, cfg, state.occ, compute_dtype)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = {"loss": loss, **aux}
+    return TrainState(step=state.step + 1, params=params,
+                      opt_state=opt_state, occ=state.occ), metrics
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "num_samples", "hierarchical"))
+def render_chunk(params, scene, rays_o, rays_d, dir_norm, key,
+                 cfg: PipelineConfig, occ=None, num_samples: int = 256,
+                 hierarchical: bool = False):
+    """Eval-time render of one ray chunk (no jitter)."""
+    out = nerf.render_rays(params, scene, rays_o, rays_d, dir_norm, key, cfg,
+                           num_samples=num_samples, hierarchical=hierarchical,
+                           occ=occ, jitter=False)
+    return out["fine"]
+
+
+def render_image(params, scene, H: int, W: int, K, c2w, cfg: PipelineConfig,
+                 occ=None, num_samples: int = 256, hierarchical: bool = False,
+                 chunk: int = 16384, key=None):
+    """Full-image render in fixed-size chunks (reference renders test
+    images in 16k-ray chunks at 256 samples, train_hash2.py:284-290).
+    Returns (H, W, 3) float32 on host."""
+    import numpy as np
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    o, d, n = rays_lib.full_image_rays(H, W, K, c2w)
+    total = H * W
+    pad = (-total) % chunk
+    o = jnp.concatenate([o, jnp.zeros((pad, 3))]) if pad else o
+    d = jnp.concatenate([d, jnp.ones((pad, 3))]) if pad else d
+    n = jnp.concatenate([n, jnp.ones((pad, 1))]) if pad else n
+    outs = []
+    for s in range(0, total + pad, chunk):
+        outs.append(np.asarray(render_chunk(
+            params, scene, o[s:s + chunk], d[s:s + chunk], n[s:s + chunk],
+            key, cfg, occ, num_samples, hierarchical)))
+    img = np.concatenate(outs, axis=0)[:total]
+    return img.reshape(H, W, 3)

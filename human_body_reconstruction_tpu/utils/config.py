@@ -1,0 +1,137 @@
+"""Configuration dataclasses for the whole framework.
+
+One typed config tree replaces the reference's per-script argparse blocks
+(reference train_hash2.py:20-42, nerf2mesh.py:15-26) and hard-coded
+hyperparameters (L=16, F=2, num_freq=4 at reference train_hash2.py:46,
+106-107).  The CLI shims in ``cli/`` map the reference flag surface onto
+these dataclasses verbatim.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class HashConfig:
+    """Multiresolution hash-grid encoder (reference hash_encoding.py:5-39).
+
+    ``n_min``/``n_max`` bracket the per-level resolutions
+    ``N_l = n_min * b**l`` with ``b = exp((ln n_max - ln n_min)/(L-1))``
+    (reference hash_encoding.py:13, 153).
+    """
+
+    num_levels: int = 16          # L
+    features_per_level: int = 2   # F
+    log2_table_size: int = 16     # T = 2**log2_table_size (power of two)
+    n_min: int = 16
+    n_max: int = 2048
+    dim: int = 3
+    init_scale: float = 1e-4      # U(-1e-4, 1e-4) table init (ref :32)
+
+    @property
+    def table_size(self) -> int:
+        return 2 ** self.log2_table_size
+
+    @property
+    def out_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+
+@dataclasses.dataclass(frozen=True)
+class PosEncConfig:
+    """Frequency positional encoding for view directions.
+
+    ``mode='linear'`` reproduces the reference's linear frequency ladder
+    sin(2*x*k), cos(2*x*k), k=0..num_freq-1 (reference encoder.py:27-29);
+    ``mode='nerf'`` is the standard geometric 2**k ladder.
+    """
+
+    d_model: int = 3
+    num_freq: int = 4
+    mode: str = "linear"  # "linear" | "nerf"
+
+    @property
+    def out_dim(self) -> int:
+        return self.d_model * self.num_freq * 2
+
+
+@dataclasses.dataclass(frozen=True)
+class MLPConfig:
+    """Hash-NeRF MLP head (reference test_hash.py:20-77).
+
+    Density branch: Linear(in, width) -> ReLU -> [num_sig blocks] ->
+    (1 + geo_feat_dim); colour branch Linear(geo_feat_dim + d_view, width)
+    -> ... -> 3.  ``rgb_activation`` defaults to ``sigmoid`` (bounded
+    colours; better PSNR); ``elu`` matches the reference exactly
+    (reference test_hash.py:67).
+    """
+
+    width: int = 64
+    num_sig: int = 2        # hidden blocks in the density branch
+    num_col: int = 2        # hidden blocks in the colour branch
+    geo_feat_dim: int = 15
+    density_activation: str = "leaky_relu"  # or "sdf" (2*sigmoid-1)
+    rgb_activation: str = "sigmoid"         # "sigmoid" | "elu" (reference)
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassicNeRFConfig:
+    """Vanilla NeRF MLP (reference vol_renderer.py:12-86)."""
+
+    d_input: int = 60
+    n_layers: int = 8
+    d_filter: int = 256
+    skip: Tuple[int, ...] = (4,)
+    d_viewdirs: Optional[int] = 60
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Volume rendering (reference vol_renderer.py:88-245, helper.py:53-107)."""
+
+    near: float = 2.0
+    far: float = 6.0
+    num_samples: int = 64
+    num_fine_samples: int = 0      # >0 enables hierarchical second pass
+    hierarchical: bool = False
+    per_ray_jitter: bool = True    # reference shares one jitter across the
+                                   # batch (helper.py:210-237); per-ray is
+                                   # strictly better and the default
+    log_sampling: bool = False
+    sigma_clip_min: float = -10.0  # reference helper.py:76
+    use_sdf: bool = False
+    white_background: bool = False
+    occupancy: bool = False        # occupancy-grid culling
+    occupancy_resolution: int = 256  # max_dim//4 (ref vol_renderer.py:106)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Trainer (reference train_hash2.py:141-162 optimizer/schedule setup)."""
+
+    num_epochs: int = 1000
+    ray_batch: int = 16000          # --num_batch
+    lr_hash: float = 0.05           # Adam on the hash table
+    lr_mlp: float = 0.005           # AdamW on the MLP
+    lr_final: float = 1e-4          # cosine floor (CosineAnnealingLR eta_min)
+    weight_decay: float = 0.01
+    eikonal_weight: float = 0.1     # reference train_hash2.py:224
+    lr_var: float = 0.01            # SDF var-model optimizer (ref :165)
+    seed: int = 0
+    compute_dtype: str = "bfloat16"  # TPU analog of the fp16 autocast
+                                     # (reference train_hash2.py:192, 218)
+    update_rate: int = 15            # occupancy-grid update cadence
+    write_every: int = 0             # steps between eval renders (0 = auto)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Full experiment config."""
+
+    hash: HashConfig = dataclasses.field(default_factory=HashConfig)
+    dir_enc: PosEncConfig = dataclasses.field(default_factory=PosEncConfig)
+    mlp: MLPConfig = dataclasses.field(default_factory=MLPConfig)
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)

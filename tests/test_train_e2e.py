@@ -1,0 +1,127 @@
+"""End-to-end integration: overfit the hash-NeRF on a synthetic volume.
+
+The golden-image substitute for the reference's visual smoke tests
+(SURVEY.md section 4): training must materially improve PSNR on images of
+a known analytic emissive volume rendered with the same compositing math.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from human_body_reconstruction_tpu.data import synthetic
+from human_body_reconstruction_tpu.models import mlp as mlp_lib
+from human_body_reconstruction_tpu.ops import hash_encoding as he
+from human_body_reconstruction_tpu.train import state as state_lib
+from human_body_reconstruction_tpu.train import step as step_lib
+from human_body_reconstruction_tpu.utils import config as cfg_lib
+
+
+def small_cfg(**render_kw):
+    return cfg_lib.PipelineConfig(
+        hash=cfg_lib.HashConfig(num_levels=8, log2_table_size=12, n_min=4,
+                                n_max=128),
+        dir_enc=cfg_lib.PosEncConfig(num_freq=4),
+        mlp=cfg_lib.MLPConfig(),
+        render=cfg_lib.RenderConfig(near=2.0, far=6.0, num_samples=32,
+                                    **render_kw),
+        train=cfg_lib.TrainConfig(ray_batch=1024),
+    )
+
+
+def build(cfg, key=jax.random.PRNGKey(0), use_sdf=False):
+    k1, k2 = jax.random.split(key)
+    params = {
+        "table": he.init_table(k1, cfg.hash),
+        "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
+                                  cfg.dir_enc.out_dim),
+    }
+    if use_sdf:
+        params["var"] = mlp_lib.init_var_model()
+    return params
+
+
+def make_scene(ds):
+    from human_body_reconstruction_tpu.ops import rays as rays_lib
+    lo, hi = rays_lib.scene_bounds(ds["H"], ds["W"], ds["K"], ds["c2ws"],
+                                   ds["near"], ds["far"])
+    return {"mu": lo, "sigma": jnp.sqrt(jnp.sum((hi - lo) ** 2)),
+            "min_bound": lo, "max_bound": hi}
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return synthetic.make_dataset(n_views=6, H=40, W=40)
+
+
+def run_training(dataset, cfg, steps=250, seed=0):
+    params = build(cfg)
+    scene = make_scene(dataset)
+    state, tx = state_lib.create_train_state(params, cfg.train, steps)
+    key = jax.random.PRNGKey(seed)
+    metrics = None
+    for _ in range(steps):
+        state, metrics = step_lib.train_step(
+            state, scene, dataset["images"], dataset["c2ws"], dataset["K"],
+            key, cfg, tx, cfg.train.ray_batch)
+    return state, scene, metrics
+
+
+def test_overfit_blob_scene(dataset):
+    cfg = small_cfg()
+    state, scene, metrics = run_training(dataset, cfg, steps=300)
+    final_psnr = float(metrics["psnr"])
+    assert final_psnr > 22.0, f"train PSNR too low: {final_psnr}"
+
+    # held-out-style full-image render against GT (same pose set)
+    img = step_lib.render_image(state.params, scene, dataset["H"],
+                                dataset["W"], dataset["K"],
+                                dataset["c2ws"][0], cfg, num_samples=64)
+    gt = np.asarray(dataset["images"][0])
+    mse = np.mean((img - gt) ** 2)
+    psnr = 10 * np.log10(1.0 / mse)
+    assert psnr > 20.0, f"render PSNR too low: {psnr}"
+
+
+def test_training_reduces_loss(dataset):
+    cfg = small_cfg()
+    params = build(cfg)
+    scene = make_scene(dataset)
+    state, tx = state_lib.create_train_state(params, cfg.train, 100)
+    key = jax.random.PRNGKey(1)
+    first = None
+    last = None
+    for _ in range(100):
+        state, m = step_lib.train_step(
+            state, scene, dataset["images"], dataset["c2ws"], dataset["K"],
+            key, cfg, tx, 512)
+        if first is None:
+            first = float(m["loss"])
+        last = float(m["loss"])
+    assert last < first * 0.5, (first, last)
+
+
+def test_hierarchical_training_runs(dataset):
+    cfg = small_cfg(hierarchical=True, num_fine_samples=32)
+    state, scene, metrics = run_training(dataset, cfg, steps=30)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sdf_mode_runs_and_has_eikonal(dataset):
+    cfg = small_cfg(use_sdf=True)
+    cfg = cfg_lib.PipelineConfig(
+        hash=cfg.hash, dir_enc=cfg.dir_enc,
+        mlp=cfg_lib.MLPConfig(density_activation="sdf"),
+        render=cfg.render, train=cfg.train)
+    params = build(cfg, use_sdf=True)
+    scene = make_scene(dataset)
+    state, tx = state_lib.create_train_state(params, cfg.train, 20)
+    key = jax.random.PRNGKey(2)
+    for _ in range(10):
+        state, m = step_lib.train_step(
+            state, scene, dataset["images"], dataset["c2ws"], dataset["K"],
+            key, cfg, tx, 256)
+    assert "eikonal" in m and np.isfinite(float(m["eikonal"]))
+    # var sharpness got optimizer updates
+    assert float(state.params["var"]["b"]) != 0.5

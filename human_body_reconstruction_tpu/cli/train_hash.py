@@ -1,0 +1,148 @@
+"""Hash-NeRF training CLI — flag-compatible with the reference trainer.
+
+Every reference flag (train_hash2.py:20-42) is accepted with the same
+name, default and meaning:
+
+  --display --compile --load --update_rate --write --num_epochs
+  --num_batch --num_imgs --num_samples --near --far --plot_grads
+  --use_sdf --hierarchical --max_res --hash_size --model_name
+  --data_path --ckpt_name
+
+plus TPU-rebuild extensions: --steps (explicit step budget), --out_dir,
+--log_every, --occupancy (enable the working culling grid), --rgb_elu
+(reference-parity ELU colour activation), --white_bg, --downscale,
+--synthetic (procedural demo scene when no dataset is on disk).
+
+Notes vs the reference:
+  * --compile is accepted but a no-op: everything is always jit-compiled
+    (the reference gates torch.compile, train_hash2.py:138-139),
+  * --display is accepted but headless environments just skip it,
+  * --plot_grads logs per-group gradient norms instead of opening a
+    matplotlib window (helper.py:239-266).
+
+Run:  python -m human_body_reconstruction_tpu.cli.train_hash --synthetic \
+          --steps 500 --num_samples 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Train Hashing (TPU-native)")
+    # -- reference flag surface (train_hash2.py:20-42) --
+    p.add_argument("--display", action="store_true", help="Display the output")
+    p.add_argument("--compile", action="store_true",
+                   help="accepted for parity; everything is jit-compiled")
+    p.add_argument("--load", action="store_true", help="Continue from checkpoint")
+    p.add_argument("--update_rate", type=int, default=15,
+                   help="Update rate for Occupancy grid")
+    p.add_argument("--write", action="store_true", help="Write the output")
+    p.add_argument("--num_epochs", type=int, default=1000, help="Number of epochs")
+    p.add_argument("--num_batch", type=int, default=16000, help="Ray batch size")
+    p.add_argument("--num_imgs", type=int, default=2,
+                   help="accepted for parity (images per host batch)")
+    p.add_argument("--num_samples", type=int, default=64,
+                   help="Number of samples along ray")
+    p.add_argument("--near", type=float, default=2.0, help="Near point")
+    p.add_argument("--far", type=float, default=6.0, help="Far point")
+    p.add_argument("--plot_grads", action="store_true",
+                   help="Log gradient norms each log interval")
+    p.add_argument("--use_sdf", action="store_true",
+                   help="Use sdf formulation while training")
+    p.add_argument("--hierarchical", action="store_true",
+                   help="Use hierarchical sampling")
+    p.add_argument("--max_res", type=float, default=2048,
+                   help="Max resolution of the grid")
+    p.add_argument("--hash_size", type=float, default=16,
+                   help="Log Size of the hash table")
+    p.add_argument("--model_name", type=str, default="default",
+                   help="Name of saved model")
+    p.add_argument("--data_path", type=str, default=None, help="Path to data")
+    p.add_argument("--ckpt_name", type=str, default="N_2048_T_16",
+                   help="Name of checkpoint")
+    # -- TPU-rebuild extensions --
+    p.add_argument("--steps", type=int, default=None,
+                   help="explicit total step count (overrides epochs)")
+    p.add_argument("--out_dir", type=str, default="results")
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="steps between eval renders (0: only with --write)")
+    p.add_argument("--occupancy", action="store_true",
+                   help="enable occupancy-grid culling")
+    p.add_argument("--rgb_elu", action="store_true",
+                   help="reference-parity ELU colour activation")
+    p.add_argument("--white_bg", action="store_true")
+    p.add_argument("--downscale", type=int, default=1)
+    p.add_argument("--synthetic", action="store_true",
+                   help="procedural demo scene instead of a dataset dir")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def make_config(args):
+    from human_body_reconstruction_tpu.utils import config as C
+
+    return C.PipelineConfig(
+        hash=C.HashConfig(n_max=int(args.max_res),
+                          log2_table_size=int(args.hash_size)),
+        mlp=C.MLPConfig(
+            density_activation="sdf" if args.use_sdf else "leaky_relu",
+            rgb_activation="elu" if args.rgb_elu else "sigmoid"),
+        render=C.RenderConfig(
+            near=args.near, far=args.far, num_samples=args.num_samples,
+            hierarchical=args.hierarchical, use_sdf=args.use_sdf,
+            white_background=args.white_bg, occupancy=args.occupancy),
+        train=C.TrainConfig(
+            num_epochs=args.num_epochs, ray_batch=args.num_batch,
+            update_rate=args.update_rate, seed=args.seed),
+    )
+
+
+def load_dataset(args):
+    from human_body_reconstruction_tpu.data import datasets, synthetic
+
+    if args.synthetic or args.data_path == "synthetic":
+        return synthetic.make_dataset(n_views=12, H=96, W=96,
+                                      near=args.near, far=args.far)
+    data_path = args.data_path or "data/lego/"
+    json_path = os.path.join(data_path, "transforms_train.json")
+    ds = datasets.load_nerf_json(json_path, white_background=args.white_bg,
+                                 downscale=args.downscale)
+    return datasets.to_device(ds)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from human_body_reconstruction_tpu.train.trainer import Trainer
+
+    cfg = make_config(args)
+    ds = load_dataset(args)
+    trainer = Trainer(cfg=cfg, ds=ds, out_dir=args.out_dir,
+                      model_name=args.model_name)
+    if args.load:
+        path = os.path.join(args.out_dir, f"{args.ckpt_name}_ckpt.npz")
+        if not os.path.exists(path):
+            path = trainer.ckpt_path()
+        trainer.load(path)
+        print(f"resumed from {path} at step {int(trainer.state.step)}")
+
+    n_pixels = int(ds["images"].shape[0]) * ds["H"] * ds["W"]
+    steps_per_epoch = max(1, n_pixels // args.num_batch)
+    steps = args.steps if args.steps else args.num_epochs * steps_per_epoch
+    # ~100 eval renders over a long run, but never more often than every
+    # 100 steps (an eval render costs many training steps).
+    eval_every = args.eval_every or (max(100, steps // 100) if args.write
+                                     else 0)
+
+    trainer.run(steps, log_every=args.log_every, eval_every=eval_every)
+    trainer.save()
+    if args.write:
+        trainer.eval_render(tag="final")
+    print(f"checkpoint: {trainer.ckpt_path()}")
+
+
+if __name__ == "__main__":
+    main()

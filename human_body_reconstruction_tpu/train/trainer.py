@@ -1,0 +1,169 @@
+"""High-level trainer: wires data, model, optimizers, occupancy updates,
+periodic eval renders, checkpointing and metrics.
+
+The structured replacement for the reference's script-body training loop
+(train_hash2.py:193-306): same capabilities (periodic test render to
+``results/``, checkpoint save, resume, SDF mode, hierarchical flag) plus
+working occupancy culling, per-step PSNR/rays-per-sec metrics and exact
+optimizer-state resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from human_body_reconstruction_tpu.models import mlp as mlp_lib
+from human_body_reconstruction_tpu.models import nerf
+from human_body_reconstruction_tpu.ops import hash_encoding as he
+from human_body_reconstruction_tpu.ops import occupancy, rays as rays_lib
+from human_body_reconstruction_tpu.train import checkpoint as ckpt_lib
+from human_body_reconstruction_tpu.train import state as state_lib
+from human_body_reconstruction_tpu.train import step as step_lib
+from human_body_reconstruction_tpu.utils.config import PipelineConfig
+
+
+def init_params(key, cfg: PipelineConfig):
+    k1, k2 = jax.random.split(key)
+    params = {
+        "table": he.init_table(k1, cfg.hash),
+        "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
+                                  cfg.dir_enc.out_dim),
+    }
+    if cfg.render.use_sdf:
+        params["var"] = mlp_lib.init_var_model()
+    return params
+
+
+def scene_from_dataset(ds, cfg: PipelineConfig):
+    """Bounds -> (scene dict) with mu = min bound and sigma = diagonal
+    norm (reference train_hash2.py:114-119)."""
+    lo, hi = rays_lib.scene_bounds(ds["H"], ds["W"], ds["K"], ds["c2ws"],
+                                   cfg.render.near, cfg.render.far)
+    return {"mu": lo, "sigma": jnp.sqrt(jnp.sum((hi - lo) ** 2)),
+            "min_bound": lo, "max_bound": hi}
+
+
+@dataclasses.dataclass
+class Trainer:
+    cfg: PipelineConfig
+    ds: dict
+    out_dir: str = "results"
+    model_name: str = "default"
+    bounds_path: str = "bounds_model.npy"
+    log_fn: Callable[[str], None] = print
+
+    def __post_init__(self):
+        cfg = self.cfg
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.scene = scene_from_dataset(self.ds, cfg)
+        ckpt_lib.save_bounds(
+            os.path.join(self.out_dir, self.bounds_path),
+            self.scene["min_bound"], self.scene["max_bound"])
+        self.params = init_params(jax.random.PRNGKey(cfg.train.seed), cfg)
+        occ = (occupancy.init_grid(cfg.render.occupancy_resolution)
+               if cfg.render.occupancy else None)
+        self.total_steps = cfg.train.num_epochs * max(
+            1, (self.ds["images"].size // 3) // cfg.train.ray_batch)
+        self.state, self.tx = state_lib.create_train_state(
+            self.params, cfg.train, self.total_steps, occ=occ)
+        self.key = jax.random.PRNGKey(cfg.train.seed)
+        self.history = []
+
+    # -- checkpointing ----------------------------------------------------
+    def ckpt_path(self):
+        return os.path.join(self.out_dir, f"{self.model_name}_ckpt.npz")
+
+    def save(self):
+        ckpt_lib.save_train_state(self.ckpt_path(), self.state)
+
+    def load(self, path: Optional[str] = None):
+        self.state = ckpt_lib.load_train_state(path or self.ckpt_path(),
+                                               self.state)
+
+    # -- occupancy --------------------------------------------------------
+    def update_occupancy(self):
+        if self.state.occ is None:
+            return
+        cfg = self.cfg
+
+        def density_fn(pts):
+            return nerf.density_only(self.state.params, self.scene, pts, cfg)
+
+        occ = occupancy.update(
+            self.state.occ, density_fn,
+            jax.random.fold_in(self.key, 10_000 + int(self.state.step)),
+            self.scene["mu"], self.scene["sigma"])
+        self.state = self.state._replace(occ=occ)
+
+    # -- training ---------------------------------------------------------
+    def run(self, steps: int, log_every: int = 100,
+            eval_every: Optional[int] = None, eval_pose: int = 0,
+            eval_samples: int = 256):
+        cfg = self.cfg
+        t_last = time.perf_counter()
+        rays_done = 0
+        for i in range(steps):
+            self.state, metrics = step_lib.train_step(
+                self.state, self.scene, self.ds["images"], self.ds["c2ws"],
+                self.ds["K"], self.key, cfg, self.tx, cfg.train.ray_batch)
+            rays_done += cfg.train.ray_batch
+
+            step_no = int(self.state.step)
+            if cfg.render.occupancy and step_no % cfg.train.update_rate == 0:
+                self.update_occupancy()
+
+            if log_every and (i + 1) % log_every == 0:
+                jax.block_until_ready(metrics["loss"])
+                dt = time.perf_counter() - t_last
+                rps = rays_done / dt
+                rec = {"step": step_no,
+                       "loss": float(metrics["loss"]),
+                       "psnr": float(metrics["psnr"]),
+                       "rays_per_sec": rps}
+                if self.state.occ is not None:
+                    rec["occupied_frac"] = float(
+                        occupancy.occupied_fraction(self.state.occ))
+                self.history.append(rec)
+                self.log_fn(
+                    f"step {rec['step']:7d}  loss {rec['loss']:.5f}  "
+                    f"psnr {rec['psnr']:6.2f}  {rps/1e6:7.3f} Mrays/s")
+                t_last = time.perf_counter()
+                rays_done = 0
+
+            if eval_every and (i + 1) % eval_every == 0:
+                self.eval_render(eval_pose, eval_samples,
+                                 tag=f"{step_no:07d}")
+                self.save()
+        return self.state
+
+    def eval_render(self, pose_idx: int = 0, num_samples: int = 256,
+                    tag: str = "final", write_png: bool = True):
+        """Render a full test view; write PNG + return PSNR vs the
+        dataset image (reference writes min-max-normalised PNGs to
+        ./results, train_hash2.py:297; we write the raw [0,1] clip and
+        log true PSNR)."""
+        cfg = self.cfg
+        img = step_lib.render_image(
+            self.state.params, self.scene, self.ds["H"], self.ds["W"],
+            self.ds["K"], self.ds["c2ws"][pose_idx], cfg,
+            occ=self.state.occ, num_samples=num_samples,
+            hierarchical=cfg.render.hierarchical)
+        gt = np.asarray(self.ds["images"][pose_idx])
+        mse = float(np.mean((img - gt) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        if write_png:
+            from PIL import Image
+
+            path = os.path.join(self.out_dir,
+                                f"{self.model_name}_{tag}.png")
+            Image.fromarray(
+                (np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+        self.log_fn(f"eval [{tag}] pose {pose_idx}: PSNR {psnr:.2f} dB")
+        return psnr

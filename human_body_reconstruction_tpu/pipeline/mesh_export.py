@@ -1,0 +1,121 @@
+"""Mesh export: chunked TPU density sweep -> marching cubes -> PLY/OBJ.
+
+Capability parity with reference ``nerf2mesh.py``:
+  * rebuild encoder+MLP from a checkpoint and saved bounds
+    (nerf2mesh.py:28-64),
+  * sweep a resolution^3 grid over the bounds through the field in
+    fixed-size chunks with view dir (0, 0, 1) (nerf2mesh.py:69-87),
+  * cache the (R, R, R, 4) rgb+sigma grid to ``density_grid_w_rgb.npy``
+    (nerf2mesh.py:72, 87-88),
+  * extract the iso-surface at the requested level (default 30.0,
+    nerf2mesh.py:98) and colour vertices — by the field's own rgb
+    (improvement) or by normalised XYZ (exact reference behaviour,
+    nerf2mesh.py:92-94),
+  * write the mesh to disk (the reference only opens a viewer window).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from human_body_reconstruction_tpu.models import nerf
+from human_body_reconstruction_tpu.ops import marching_cubes as mc
+from human_body_reconstruction_tpu.ops import positional
+from human_body_reconstruction_tpu.utils.config import PipelineConfig
+
+
+def density_rgb_grid(params, scene, cfg: PipelineConfig, *,
+                     resolution: int = 256, chunk: int = 262144,
+                     cache_path: Optional[str] = None) -> np.ndarray:
+    """(R, R, R, 4) float32 grid of (r, g, b, sigma) over the scene bounds.
+
+    grid[i, j, k] is the field at (x_i, y_j, z_k) ('ij' indexing — unlike
+    the reference's tangled default-'xy' meshgrid, nerf2mesh.py:37).
+    """
+    if cache_path and os.path.exists(cache_path):
+        arr = np.load(cache_path)
+        if arr.shape == (resolution,) * 3 + (4,):
+            return arr
+
+    lo = np.asarray(scene["min_bound"], np.float32)
+    hi = np.asarray(scene["max_bound"], np.float32)
+    axes = [np.linspace(lo[d], hi[d], resolution, dtype=np.float32)
+            for d in range(3)]
+    X, Y, Z = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+
+    view = jnp.asarray([[0.0, 0.0, 1.0]])
+    dirs_enc = positional.positional_encode(view, cfg.dir_enc.num_freq,
+                                            cfg.dir_enc.mode)
+
+    @jax.jit
+    def fwd(p):
+        d = jnp.broadcast_to(dirs_enc, (p.shape[0], dirs_enc.shape[-1]))
+        rgb, sigma = nerf.field_forward(params, scene, p, d, cfg,
+                                        compute_dtype=jnp.bfloat16)
+        return jnp.concatenate([rgb, sigma[:, None]], axis=-1)
+
+    total = pts.shape[0]
+    pad = (-total) % chunk
+    if pad:
+        pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+    outs = []
+    for s in range(0, total + pad, chunk):
+        outs.append(np.asarray(fwd(jnp.asarray(pts[s:s + chunk]))))
+    grid = np.concatenate(outs)[:total].reshape(
+        resolution, resolution, resolution, 4)
+    if cache_path:
+        np.save(cache_path, grid)
+    return grid
+
+
+def export_mesh(params, scene, cfg: PipelineConfig, *,
+                resolution: int = 256, iso: float = 30.0,
+                chunk: int = 262144, cache_path: Optional[str] = None,
+                out_path: str = "mesh.ply", color_mode: str = "rgb",
+                weld: bool = True, verbose: bool = True) -> dict:
+    """Full export. Returns stats dict (counts + stage timings)."""
+    t0 = time.perf_counter()
+    grid = density_rgb_grid(params, scene, cfg, resolution=resolution,
+                            chunk=chunk, cache_path=cache_path)
+    t_sweep = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    verts, faces = mc.marching_cubes(
+        np.ascontiguousarray(grid[..., 3]), iso)
+    if weld:
+        verts, faces = mc.weld_vertices(verts, faces)
+    t_mc = time.perf_counter() - t0
+
+    if len(verts):
+        if color_mode == "xyz":
+            # reference behaviour: colour = normalised grid coordinate
+            # (nerf2mesh.py:92-94)
+            colors = verts / (resolution - 1)
+        else:
+            colors = np.clip(mc.grid_interp(grid[..., :3], verts), 0.0, 1.0)
+    else:
+        colors = np.zeros((0, 3), np.float32)
+
+    world_verts = mc.verts_to_world(verts, scene["min_bound"],
+                                    scene["max_bound"], resolution)
+    if out_path.endswith(".obj"):
+        mc.write_obj(out_path, world_verts, faces)
+    else:
+        mc.write_ply(out_path, world_verts, faces, colors)
+
+    stats = {"num_verts": int(len(verts)), "num_faces": int(len(faces)),
+             "sweep_seconds": t_sweep, "marching_seconds": t_mc,
+             "out_path": out_path}
+    if verbose:
+        print(f"density sweep {resolution}^3: {t_sweep:.2f}s; "
+              f"marching tets: {t_mc:.2f}s; "
+              f"{stats['num_verts']} verts / {stats['num_faces']} faces "
+              f"-> {out_path}")
+    return stats

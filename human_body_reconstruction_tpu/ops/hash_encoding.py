@@ -115,11 +115,15 @@ def hash_encode(table, x, mu, sigma, cfg: HashConfig):
     x0 = x0f.astype(jnp.int32)
 
     offsets = _corner_offsets(dim)                               # host (C, dim)
-    # Features-major transposed table so the gather output is (F, L, N).
-    table_t = table.transpose(2, 0, 1).reshape(F, L * T)
+    # Flat 1-D table: XLA:TPU keeps the (8 MB default) operand VMEM-
+    # resident and runs 1-D gathers at near-bandwidth speed, whereas
+    # multi-dim take formulations (e.g. axis-1 take on a (F, L*T)
+    # operand) lower to a pathologically slow gather (measured 1.3M
+    # points/s vs the ~600 GB/s flat path).
+    table_flat = table.reshape(L * T * F)
     level_offsets = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))
 
-    acc = jnp.zeros((F, L, N), dtype=table.dtype)
+    acc = [jnp.zeros((L, N), dtype=table.dtype) for _ in range(F)]
     for c in range(2 ** dim):
         off = offsets[c]                                         # (dim,) 0/1
         coord = (x0 + jnp.asarray(off[:, None, None])).astype(jnp.uint32)
@@ -127,10 +131,13 @@ def hash_encode(table, x, mu, sigma, cfg: HashConfig):
         for d in range(1, dim):
             idx = idx ^ (coord[d] * jnp.uint32(PRIMES[d]))
         idx = idx & jnp.uint32(T - 1)
-        flat = (idx + level_offsets[:, None]).astype(jnp.int32)  # (L, N)
-        feats = jnp.take(table_t, flat, axis=1)                  # (F, L, N)
+        base = ((idx + level_offsets[:, None]) * jnp.uint32(F)).astype(jnp.int32)
         w = jnp.ones((L, N), dtype=jnp.float32)
         for d in range(dim):
             w = w * (frac[d] if off[d] else (1.0 - frac[d]))
-        acc = acc + feats * w[None].astype(table.dtype)
-    return acc.transpose(2, 1, 0).reshape(N, L * F)
+        w = w.astype(table.dtype)
+        for f in range(F):
+            feats = jnp.take(table_flat, base + f)               # (L, N)
+            acc[f] = acc[f] + feats * w
+    # (F, L, N) -> (N, L, F) -> (N, L*F)
+    return jnp.stack(acc).transpose(2, 1, 0).reshape(N, L * F)

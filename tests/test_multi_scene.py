@@ -1,0 +1,82 @@
+"""Multi-scene batched fitting tests (single device + 8-device mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from human_body_reconstruction_tpu.data import synthetic
+from human_body_reconstruction_tpu.parallel import data_parallel as dp
+from human_body_reconstruction_tpu.parallel import multi_scene as ms
+from human_body_reconstruction_tpu.train import trainer as trainer_lib
+from human_body_reconstruction_tpu.utils import config as cfg_lib
+
+
+def small_cfg():
+    return cfg_lib.PipelineConfig(
+        hash=cfg_lib.HashConfig(num_levels=4, log2_table_size=10, n_min=4,
+                                n_max=64),
+        render=cfg_lib.RenderConfig(num_samples=16),
+        train=cfg_lib.TrainConfig(ray_batch=256),
+    )
+
+
+@pytest.fixture(scope="module")
+def stacked():
+    """Two tiny scenes (same geometry, different views is fine)."""
+    cfg = small_cfg()
+    dss = [synthetic.make_dataset(n_views=3, H=16, W=16),
+           synthetic.make_dataset(n_views=3, H=16, W=16)]
+    scenes = jax.tree.map(lambda *x: jnp.stack(x),
+                          *[trainer_lib.scene_from_dataset(d, cfg)
+                            for d in dss])
+    images = jnp.stack([d["images"] for d in dss])
+    c2ws = jnp.stack([d["c2ws"] for d in dss])
+    Ks = jnp.stack([d["K"] for d in dss])
+    return cfg, scenes, images, c2ws, Ks
+
+
+def test_multi_scene_trains(stacked):
+    cfg, scenes, images, c2ws, Ks = stacked
+    S = images.shape[0]
+    params = ms.init_multi_params(jax.random.PRNGKey(0), cfg, S)
+    assert params["table"].shape[0] == S
+    state, tx = ms.create_multi_state(params, cfg, 40)
+    step = ms.make_multi_train_step(cfg, tx, batch_per_scene=256)
+    keys = jax.random.split(jax.random.PRNGKey(1), S)
+    first = last = None
+    for _ in range(40):
+        state, m = step(state, scenes, images, c2ws, Ks, keys)
+        if first is None:
+            first = float(m["loss"])
+        last = float(m["loss"])
+    assert last < first * 0.6, (first, last)
+    # the two scenes' tables actually diverged per-scene (independent fits)
+    t = np.asarray(state.params["table"])
+    assert not np.allclose(t[0], t[1])
+
+
+def test_multi_scene_sharded_over_mesh(stacked):
+    cfg, scenes, images, c2ws, Ks = stacked
+    mesh = dp.make_mesh()
+    n = mesh.devices.size
+    S = n  # one scene per device
+    params = ms.init_multi_params(jax.random.PRNGKey(0), cfg, S)
+    state, tx = ms.create_multi_state(params, cfg, 10)
+    state = ms.shard_multi_state(state, mesh)
+    step = ms.make_multi_train_step(cfg, tx, batch_per_scene=128, mesh=mesh)
+
+    def tile(x):
+        reps = [S // x.shape[0]] + [1] * (x.ndim - 1)
+        return jnp.tile(x, reps)
+
+    images8, c2ws8, Ks8 = tile(images), tile(c2ws), tile(Ks)
+    scenes8 = jax.tree.map(tile, scenes)
+    keys = jax.random.split(jax.random.PRNGKey(1), S)
+    for _ in range(5):
+        state, m = step(state, scenes8, images8, c2ws8, Ks8, keys)
+    assert np.isfinite(float(m["loss"]))
+    # table sharded: each device holds S/n scenes
+    shards = state.params["table"].addressable_shards
+    assert len(shards) == n
+    assert shards[0].data.shape[0] == S // n

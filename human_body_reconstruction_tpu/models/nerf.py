@@ -28,9 +28,9 @@ from human_body_reconstruction_tpu.utils.config import PipelineConfig
 
 
 def encode_points(params, scene, pts, cfg: PipelineConfig):
-    """(N, 3) world points -> (N, L*F) hash features."""
-    return he.hash_encode(params["table"], pts, scene["mu"], scene["sigma"],
-                          cfg.hash)
+    """(N, 3) world points -> (N, L*F) hash features (variant-dispatched)."""
+    return he.encode(params["table"], pts, scene["mu"], scene["sigma"],
+                     cfg.hash)
 
 
 def field_forward(params, scene, pts, dirs_enc, cfg: PipelineConfig,

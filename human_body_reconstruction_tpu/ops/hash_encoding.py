@@ -50,9 +50,12 @@ def level_scales(cfg: HashConfig) -> np.ndarray:
 
 
 def init_table(key, cfg: HashConfig, dtype=jnp.float32):
-    """(L, T, F) table, U(-init_scale, init_scale) (ref hash_encoding.py:32)."""
+    """(L, T, payload) table, U(-init_scale, init_scale)
+    (ref hash_encoding.py:32).  payload is F for the reference-exact
+    "corner" variant and F * 2**dim for the "cell" variant (all corner
+    features of a cell co-stored in its bucket)."""
     return jax.random.uniform(
-        key, (cfg.num_levels, cfg.table_size, cfg.features_per_level),
+        key, (cfg.num_levels, cfg.table_size, cfg.payload),
         dtype=dtype, minval=-cfg.init_scale, maxval=cfg.init_scale)
 
 
@@ -81,6 +84,86 @@ def hash_corner_indices(coords_u32, table_size: int):
     return acc & jnp.uint32(table_size - 1)
 
 
+def _level_coords(x, mu, sigma, cfg: HashConfig):
+    """Shared front-end: (dim, L, N) integer cells + fractions."""
+    scales = jnp.asarray(level_scales(cfg), dtype=jnp.float32)   # (L,)
+    xn = ((x.astype(jnp.float32) - mu) / sigma).T                # (dim, N)
+    xl = xn[:, None, :] * scales[None, :, None]                  # (dim, L, N)
+    x0f = jnp.floor(xl)
+    frac = jax.lax.stop_gradient(xl - x0f)                       # (dim, L, N)
+    return x0f.astype(jnp.int32), frac
+
+
+def _hash_levels(coord_u32, cfg: HashConfig):
+    """(dim, L, N) uint32 coords -> (L, N) bucket index in [0, T)."""
+    idx = coord_u32[0] * jnp.uint32(PRIMES[0])
+    for d in range(1, cfg.dim):
+        idx = idx ^ (coord_u32[d] * jnp.uint32(PRIMES[d]))
+    return idx & jnp.uint32(cfg.table_size - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def hash_encode_cell(table, x, mu, sigma, cfg: HashConfig):
+    """TPU-fast "cell" variant: one hash + one row-gather per
+    (point, level); the bucket holds all 2**dim corner features.
+
+    8x fewer gathers than the corner variant — the dominant cost on TPU,
+    where XLA's gather emitter pays a full memory tile per random index
+    (docs/PERF_NOTES.md).  Trade-off: corners are NOT shared between
+    adjacent cells, so the field can be discontinuous across cell faces;
+    within a cell it is the exact trilinear interpolant.
+    """
+    L, T, P = table.shape
+    dim, F, C = cfg.dim, cfg.features_per_level, cfg.corners
+    N = x.shape[0]
+    x0, frac = _level_coords(x, mu, sigma, cfg)
+    idx = _hash_levels(x0.astype(jnp.uint32), cfg)               # (L, N)
+    level_offsets = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))
+    rows_idx = (idx + level_offsets[:, None]).astype(jnp.int32)  # (L, N)
+
+    # ONE row-gather per (point, level): slice_sizes (1, P).  Both the
+    # gather and its autodiff scatter are then priced once per
+    # (point, level) rather than once per scalar feature.
+    rows = jnp.take(table.reshape(L * T, P), rows_idx, axis=0)   # (L, N, P)
+
+    offsets = _corner_offsets(dim)
+    acc = [jnp.zeros((L, N), dtype=table.dtype) for _ in range(F)]
+    for c in range(C):
+        off = offsets[c]
+        w = jnp.ones((L, N), dtype=jnp.float32)
+        for d in range(dim):
+            w = w * (frac[d] if off[d] else (1.0 - frac[d]))
+        w = w.astype(table.dtype)
+        for f in range(F):
+            acc[f] = acc[f] + rows[..., c * F + f] * w
+    return jnp.stack(acc).transpose(2, 1, 0).reshape(N, L * F)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def hash_encode_stochastic(table, x, mu, sigma, cfg: HashConfig, key):
+    """Unbiased single-corner estimate of the corner-variant encoding.
+
+    Per (point, level) each corner bit d is drawn Bernoulli(frac_d),
+    which selects corner c with exactly the trilinear weight w_c, so
+    E[table[hash(corner)]] equals the full interpolant.  2**dim fewer
+    gathers; gradient flows to the sampled corner only (an unbiased
+    SGD-style estimator for training; use the exact path for eval).
+    """
+    L, T, F = table.shape
+    dim = cfg.dim
+    N = x.shape[0]
+    x0, frac = _level_coords(x, mu, sigma, cfg)
+    u = jax.random.uniform(key, (dim, L, N))
+    bits = (u < frac).astype(jnp.int32)                          # (dim, L, N)
+    coord = (x0 + bits).astype(jnp.uint32)
+    idx = _hash_levels(coord, cfg)
+    level_offsets = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))
+    base = ((idx + level_offsets[:, None]) * jnp.uint32(F)).astype(jnp.int32)
+    flat = table.reshape(L * T * F)
+    acc = [jnp.take(flat, base + f) for f in range(F)]           # F x (L, N)
+    return jnp.stack(acc).transpose(2, 1, 0).reshape(N, L * F)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def hash_encode(table, x, mu, sigma, cfg: HashConfig):
     """Encode points with the multiresolution hash grid.
@@ -106,14 +189,7 @@ def hash_encode(table, x, mu, sigma, cfg: HashConfig):
     L, T, F = table.shape
     dim = cfg.dim
     N = x.shape[0]
-
-    scales = jnp.asarray(level_scales(cfg), dtype=jnp.float32)   # (L,)
-    xn = ((x.astype(jnp.float32) - mu) / sigma).T                # (dim, N)
-    xl = xn[:, None, :] * scales[None, :, None]                  # (dim, L, N)
-    x0f = jnp.floor(xl)
-    frac = jax.lax.stop_gradient(xl - x0f)                       # (dim, L, N)
-    x0 = x0f.astype(jnp.int32)
-
+    x0, frac = _level_coords(x, mu, sigma, cfg)
     offsets = _corner_offsets(dim)                               # host (C, dim)
     # Flat 1-D table: XLA:TPU keeps the (8 MB default) operand VMEM-
     # resident and runs 1-D gathers at near-bandwidth speed, whereas
@@ -127,10 +203,7 @@ def hash_encode(table, x, mu, sigma, cfg: HashConfig):
     for c in range(2 ** dim):
         off = offsets[c]                                         # (dim,) 0/1
         coord = (x0 + jnp.asarray(off[:, None, None])).astype(jnp.uint32)
-        idx = coord[0] * jnp.uint32(PRIMES[0])                   # (L, N)
-        for d in range(1, dim):
-            idx = idx ^ (coord[d] * jnp.uint32(PRIMES[d]))
-        idx = idx & jnp.uint32(T - 1)
+        idx = _hash_levels(coord, cfg)                           # (L, N)
         base = ((idx + level_offsets[:, None]) * jnp.uint32(F)).astype(jnp.int32)
         w = jnp.ones((L, N), dtype=jnp.float32)
         for d in range(dim):
@@ -141,3 +214,16 @@ def hash_encode(table, x, mu, sigma, cfg: HashConfig):
             acc[f] = acc[f] + feats * w
     # (F, L, N) -> (N, L, F) -> (N, L*F)
     return jnp.stack(acc).transpose(2, 1, 0).reshape(N, L * F)
+
+
+def encode(table, x, mu, sigma, cfg: HashConfig, key=None,
+           stochastic: bool = False):
+    """Variant dispatcher.  ``stochastic`` (corner variant only) uses the
+    unbiased single-corner estimator and requires ``key``."""
+    if cfg.variant == "cell":
+        return hash_encode_cell(table, x, mu, sigma, cfg)
+    if stochastic:
+        if key is None:
+            raise ValueError("stochastic hash encoding requires a PRNG key")
+        return hash_encode_stochastic(table, x, mu, sigma, cfg, key)
+    return hash_encode(table, x, mu, sigma, cfg)

@@ -29,10 +29,29 @@ class HashConfig:
     n_max: int = 2048
     dim: int = 3
     init_scale: float = 1e-4      # U(-1e-4, 1e-4) table init (ref :32)
+    # "corner": reference-exact layout — every corner hashed separately,
+    #   corners shared across cells (C0-continuous field, 2**dim gathers
+    #   per point-level).
+    # "cell": TPU-fast layout — ONE hash per (point, level) cell whose
+    #   bucket stores all 2**dim corner features contiguously (single
+    #   row-gather; 8x fewer lookups; field is trilinear inside a cell
+    #   but may be discontinuous across cell faces under collisions).
+    variant: str = "corner"
 
     @property
     def table_size(self) -> int:
         return 2 ** self.log2_table_size
+
+    @property
+    def corners(self) -> int:
+        return 2 ** self.dim
+
+    @property
+    def payload(self) -> int:
+        """Feature floats stored per bucket."""
+        if self.variant == "cell":
+            return self.features_per_level * self.corners
+        return self.features_per_level
 
     @property
     def out_dim(self) -> int:

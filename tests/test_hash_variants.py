@@ -1,0 +1,145 @@
+"""Cell-variant and stochastic hash-encoding tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from human_body_reconstruction_tpu.ops import hash_encoding as he
+from human_body_reconstruction_tpu.utils.config import HashConfig
+
+
+def cfg_cell(**kw):
+    kw.setdefault("num_levels", 4)
+    kw.setdefault("log2_table_size", 8)
+    kw.setdefault("n_min", 4)
+    kw.setdefault("n_max", 32)
+    kw.setdefault("variant", "cell")
+    return HashConfig(**kw)
+
+
+def numpy_cell_encode(table, x, mu, sigma, cfg):
+    """Independent loop reimplementation of the cell variant."""
+    L, T, P = table.shape
+    F, C = cfg.features_per_level, cfg.corners
+    scales = he.level_scales(cfg)
+    out = np.zeros((x.shape[0], L * F))
+    xn = (np.asarray(x, np.float64) - mu) / sigma
+    for n in range(x.shape[0]):
+        for l in range(L):
+            xl = xn[n] * scales[l]
+            x0 = np.floor(xl).astype(np.int64)
+            frac = xl - x0
+            h = np.uint64(0)
+            for d in range(cfg.dim):
+                h ^= np.uint64((np.uint64(x0[d] & 0xFFFFFFFF)
+                                * np.uint64(he.PRIMES[d])) & 0xFFFFFFFF)
+            idx = int(h & np.uint64(0xFFFFFFFF)) % T
+            row = np.asarray(table[l, idx], np.float64)
+            for c in range(C):
+                offs = [(c >> d) & 1 for d in range(cfg.dim)]
+                w = 1.0
+                for d in range(cfg.dim):
+                    w *= frac[d] if offs[d] else (1 - frac[d])
+                for f in range(F):
+                    out[n, l * F + f] += w * row[c * F + f]
+    return out
+
+
+def test_cell_table_shape():
+    cfg = cfg_cell()
+    t = he.init_table(jax.random.PRNGKey(0), cfg)
+    assert t.shape == (4, 256, 8 * 2)
+
+
+def test_cell_matches_numpy_reference():
+    cfg = cfg_cell()
+    table = he.init_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (13, 3), minval=-1,
+                           maxval=2)
+    got = np.asarray(he.hash_encode_cell(table, x, 0.0, 1.0, cfg))
+    expect = numpy_cell_encode(np.asarray(table), np.asarray(x), 0.0, 1.0,
+                               cfg)
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6)
+
+
+def test_cell_continuous_inside_cell():
+    """Inside one cell the field is trilinear (continuous): nearby points
+    in the same cell give nearby encodings."""
+    cfg = cfg_cell(num_levels=1, n_min=4, n_max=4)
+    table = he.init_table(jax.random.PRNGKey(2), cfg)
+    x1 = jnp.asarray([[0.30, 0.30, 0.30]])
+    x2 = jnp.asarray([[0.301, 0.30, 0.30]])
+    e1 = he.hash_encode_cell(table, x1, 0.0, 1.0, cfg)
+    e2 = he.hash_encode_cell(table, x2, 0.0, 1.0, cfg)
+    assert float(jnp.max(jnp.abs(e1 - e2))) < 1e-3
+
+
+def test_cell_gradient_mass():
+    cfg = cfg_cell()
+    table = he.init_table(jax.random.PRNGKey(3), cfg)
+    x = jnp.asarray([[0.3, 0.4, 0.5]])
+
+    def loss(tb):
+        return jnp.sum(he.hash_encode_cell(tb, x, 0.0, 1.0, cfg))
+
+    g = np.asarray(jax.grad(loss)(table))
+    # exactly one bucket touched per level; weights over corners sum to 1
+    touched = (np.abs(g).sum(-1) > 0).sum(axis=-1)
+    np.testing.assert_array_equal(touched, np.ones(4))
+    np.testing.assert_allclose(g.sum(axis=(1, 2)), 2.0 * np.ones(4),
+                               rtol=1e-5)  # F=2 features x weight-sum 1
+
+
+def test_stochastic_unbiased():
+    cfg = HashConfig(num_levels=2, log2_table_size=8, n_min=4, n_max=16)
+    table = he.init_table(jax.random.PRNGKey(4), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (5, 3))
+    exact = np.asarray(he.hash_encode(table, x, 0.0, 1.0, cfg))
+    keys = jax.random.split(jax.random.PRNGKey(6), 3000)
+    samples = jax.vmap(
+        lambda k: he.hash_encode_stochastic(table, x, 0.0, 1.0, cfg, k))(keys)
+    mean = np.asarray(jnp.mean(samples, axis=0))
+    np.testing.assert_allclose(mean, exact, atol=2e-5 + 0.05 * np.abs(exact).max())
+
+
+def test_dispatcher():
+    cfg = cfg_cell()
+    table = he.init_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (7, 3))
+    out = he.encode(table, x, 0.0, 1.0, cfg)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(he.hash_encode_cell(table, x, 0.0,
+                                                              1.0, cfg)))
+    cfg2 = HashConfig(num_levels=2, log2_table_size=8, n_min=4, n_max=16)
+    t2 = he.init_table(jax.random.PRNGKey(0), cfg2)
+    try:
+        he.encode(t2, x, 0.0, 1.0, cfg2, stochastic=True)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+
+def test_cell_variant_end_to_end_training():
+    """The cell variant must train the blob scene to good PSNR too."""
+    from human_body_reconstruction_tpu.data import synthetic
+    from human_body_reconstruction_tpu.train import state as state_lib
+    from human_body_reconstruction_tpu.train import step as step_lib
+    from human_body_reconstruction_tpu.train import trainer as trainer_lib
+    from human_body_reconstruction_tpu.utils import config as C
+
+    cfg = C.PipelineConfig(
+        hash=C.HashConfig(num_levels=8, log2_table_size=12, n_min=4,
+                          n_max=128, variant="cell"),
+        render=C.RenderConfig(num_samples=32),
+        train=C.TrainConfig(ray_batch=1024),
+    )
+    ds = synthetic.make_dataset(n_views=6, H=40, W=40)
+    scene = trainer_lib.scene_from_dataset(ds, cfg)
+    params = trainer_lib.init_params(jax.random.PRNGKey(0), cfg)
+    state, tx = state_lib.create_train_state(params, cfg.train, 300)
+    for _ in range(300):
+        state, m = step_lib.train_step(state, scene, ds["images"],
+                                       ds["c2ws"], ds["K"],
+                                       jax.random.PRNGKey(0), cfg, tx, 1024)
+    assert float(m["psnr"]) > 22.0, float(m["psnr"])

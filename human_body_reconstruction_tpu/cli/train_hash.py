@@ -72,6 +72,13 @@ def build_parser():
                    help="steps between eval renders (0: only with --write)")
     p.add_argument("--occupancy", action="store_true",
                    help="enable occupancy-grid culling")
+    p.add_argument("--encoder_variant", type=str, default="corner",
+                   choices=["corner", "cell"],
+                   help="hash layout: reference-exact 'corner' or "
+                        "TPU-fast 'cell'")
+    p.add_argument("--stochastic", action="store_true",
+                   help="unbiased single-corner hash sampling during "
+                        "training (8x fewer gathers)")
     p.add_argument("--rgb_elu", action="store_true",
                    help="reference-parity ELU colour activation")
     p.add_argument("--white_bg", action="store_true")
@@ -87,7 +94,9 @@ def make_config(args):
 
     return C.PipelineConfig(
         hash=C.HashConfig(n_max=int(args.max_res),
-                          log2_table_size=int(args.hash_size)),
+                          log2_table_size=int(args.hash_size),
+                          variant=args.encoder_variant,
+                          stochastic_train=args.stochastic),
         mlp=C.MLPConfig(
             density_activation="sdf" if args.use_sdf else "leaky_relu",
             rgb_activation="elu" if args.rgb_elu else "sigmoid"),

@@ -27,16 +27,21 @@ from human_body_reconstruction_tpu.ops import hash_encoding as he
 from human_body_reconstruction_tpu.utils.config import PipelineConfig
 
 
-def encode_points(params, scene, pts, cfg: PipelineConfig):
-    """(N, 3) world points -> (N, L*F) hash features (variant-dispatched)."""
+def encode_points(params, scene, pts, cfg: PipelineConfig, encode_key=None):
+    """(N, 3) world points -> (N, L*F) hash features (variant-dispatched).
+
+    ``encode_key`` activates the unbiased stochastic-corner estimator
+    when ``cfg.hash.stochastic_train`` is set (training only).
+    """
+    stochastic = encode_key is not None and cfg.hash.stochastic_train
     return he.encode(params["table"], pts, scene["mu"], scene["sigma"],
-                     cfg.hash)
+                     cfg.hash, key=encode_key, stochastic=stochastic)
 
 
 def field_forward(params, scene, pts, dirs_enc, cfg: PipelineConfig,
-                  compute_dtype=None):
+                  compute_dtype=None, encode_key=None):
     """(rgb (N,3), density (N,)) at world points with encoded view dirs."""
-    feats = encode_points(params, scene, pts, cfg)
+    feats = encode_points(params, scene, pts, cfg, encode_key=encode_key)
     return mlp_lib.apply_mlp3d(params["mlp"], feats, dirs_enc, cfg.mlp,
                                compute_dtype=compute_dtype)
 
@@ -67,31 +72,59 @@ def sdf_finite_difference_normals(params, scene, pts, cfg: PipelineConfig,
 
 def _render_pass(params, scene, rays_o, rays_d, dir_norm, t,
                  cfg: PipelineConfig, occ: Optional[occupancy.OccupancyGrid],
-                 compute_dtype):
-    """One encode->MLP->composite pass at the given t samples (B, S)."""
+                 compute_dtype, encode_key=None):
+    """One encode->MLP->composite pass at the given t samples (B, S).
+
+    With occupancy + ``compact_samples`` K > 0, each ray keeps only its
+    first K occupied samples (depth order preserved) and the field runs
+    on B*K points instead of B*S — the TPU-native replacement for the
+    reference's ragged boolean-mask gather (vol_renderer.py:211-216)
+    with static shapes throughout.
+    """
     B, S = t.shape
     pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]    # (B,S,3)
+    dt_full = jnp.concatenate(
+        [t[..., 1:] - t[..., :-1], jnp.zeros_like(t[..., :1])], axis=-1)
+
+    K = cfg.render.compact_samples
+    mask = None
+    dt = None
+    if occ is not None:
+        mask = occupancy.lookup(occ, pts, scene["mu"], scene["sigma"])
+        if 0 < K < S and not cfg.render.use_sdf:
+            # stable occupied-first order: key = (1-m)*S + position
+            sort_key = ((1.0 - mask) * S
+                        + jnp.arange(S, dtype=jnp.float32)[None, :])
+            order = jnp.argsort(sort_key, axis=-1)[:, :K]           # (B, K)
+            t = jnp.take_along_axis(t, order, axis=-1)
+            dt = jnp.take_along_axis(dt_full, order, axis=-1)
+            mask = jnp.take_along_axis(mask, order, axis=-1)
+            pts = jnp.take_along_axis(
+                pts, order[..., None].repeat(3, axis=-1), axis=1)
+            S = K
+
     dirs_enc = positional.positional_encode(
         rays_d, cfg.dir_enc.num_freq, cfg.dir_enc.mode)             # (B, dv)
     dirs_rep = jnp.broadcast_to(dirs_enc[:, None, :],
                                 (B, S, dirs_enc.shape[-1]))
     rgb, density = field_forward(
         params, scene, pts.reshape(B * S, 3),
-        dirs_rep.reshape(B * S, -1), cfg, compute_dtype=compute_dtype)
+        dirs_rep.reshape(B * S, -1), cfg, compute_dtype=compute_dtype,
+        encode_key=encode_key)
     rgb = rgb.reshape(B, S, 3)
     density = density.reshape(B, S)
-    if occ is not None:
-        m = occupancy.lookup(occ, pts, scene["mu"], scene["sigma"])
-        density = density * m
+    if mask is not None:
+        density = density * mask
     if cfg.render.use_sdf:
         color, weights, trans = compositing.composite_sdf(
             t, rgb, density, params["var"]["b"], dir_norm)
+        return color, weights, density, pts, t
     else:
         color, weights, trans = compositing.composite(
             t, rgb, density, dir_norm,
             sigma_clip_min=cfg.render.sigma_clip_min,
-            white_background=cfg.render.white_background)
-    return color, weights, density, pts
+            white_background=cfg.render.white_background, dt=dt)
+    return color, weights, density, pts, t
 
 
 def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
@@ -108,25 +141,29 @@ def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
     """
     S = cfg.render.num_samples if num_samples is None else num_samples
     hier = cfg.render.hierarchical if hierarchical is None else hierarchical
-    k_strat, k_fine = jax.random.split(key)
+    k_strat, k_fine, k_enc, k_enc2 = jax.random.split(key, 4)
     B = rays_o.shape[0]
+    # stochastic encoding only while training (jitter on) and if enabled
+    enc_key = (k_enc if (jitter and cfg.hash.stochastic_train) else None)
     t = sampling.stratified_ts(
         k_strat, (B,), cfg.render.near, cfg.render.far, S,
         per_ray_jitter=cfg.render.per_ray_jitter,
         log_sampling=cfg.render.log_sampling, jitter=jitter)
 
-    coarse, weights, density, pts = _render_pass(
-        params, scene, rays_o, rays_d, dir_norm, t, cfg, occ, compute_dtype)
+    coarse, weights, density, pts, t_eff = _render_pass(
+        params, scene, rays_o, rays_d, dir_norm, t, cfg, occ, compute_dtype,
+        encode_key=enc_key)
 
-    out = {"coarse": coarse, "weights": weights, "t": t}
+    out = {"coarse": coarse, "weights": weights, "t": t_eff}
 
     if hier:
         n_fine = cfg.render.num_fine_samples or S
         t_fine = sampling.hierarchical_ts(
-            k_fine, t, jax.lax.stop_gradient(weights), n_fine)
-        fine, fweights, fdensity, fpts = _render_pass(
+            k_fine, t_eff, jax.lax.stop_gradient(weights), n_fine)
+        fine, fweights, fdensity, fpts, _ = _render_pass(
             params, scene, rays_o, rays_d, dir_norm, t_fine, cfg, occ,
-            compute_dtype)
+            compute_dtype,
+            encode_key=(k_enc2 if enc_key is not None else None))
         out["fine"] = fine
         out["fine_weights"] = fweights
         sdf_pts = fpts

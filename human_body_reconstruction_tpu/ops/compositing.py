@@ -39,7 +39,7 @@ def exclusive_cumprod(x, axis: int = -1):
 
 
 def composite(t, rgb, sigma, dir_norm=None, *, sigma_clip_min: float = -10.0,
-              white_background: bool = False):
+              white_background: bool = False, dt=None):
     """Emission-absorption compositing.
 
     Args:
@@ -48,11 +48,15 @@ def composite(t, rgb, sigma, dir_norm=None, *, sigma_clip_min: float = -10.0,
       sigma: (..., S) per-sample density.
       dir_norm: optional (..., 1) or (...,) pre-normalisation ray-direction
         norm; scales dt into metric distance (reference helper.py:71).
+      dt: optional explicit per-sample intervals (..., S); overrides the
+        default neighbour-difference (used by occupancy compaction, where
+        intervals come from the full sample ladder).
     Returns:
       (color (..., 3), weights (..., S), trans (..., S)).
     """
-    dt = jnp.concatenate(
-        [t[..., 1:] - t[..., :-1], jnp.zeros_like(t[..., :1])], axis=-1)
+    if dt is None:
+        dt = jnp.concatenate(
+            [t[..., 1:] - t[..., :-1], jnp.zeros_like(t[..., :1])], axis=-1)
     if dir_norm is not None:
         dn = jnp.asarray(dir_norm)
         if dn.ndim == t.ndim:           # (..., 1)

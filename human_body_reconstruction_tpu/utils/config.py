@@ -37,6 +37,12 @@ class HashConfig:
     #   row-gather; 8x fewer lookups; field is trilinear inside a cell
     #   but may be discontinuous across cell faces under collisions).
     variant: str = "corner"
+    # Training-time unbiased single-corner sampling (corner variant):
+    # each corner bit is Bernoulli(frac), selecting corner c with exactly
+    # its trilinear weight — 2**dim fewer gathers per step, which is the
+    # dominant TPU cost (docs/PERF_NOTES.md).  Eval always uses the
+    # exact interpolant.
+    stochastic_train: bool = False
 
     @property
     def table_size(self) -> int:
@@ -124,6 +130,13 @@ class RenderConfig:
     white_background: bool = False
     occupancy: bool = False        # occupancy-grid culling
     occupancy_resolution: int = 256  # max_dim//4 (ref vol_renderer.py:106)
+    # With occupancy on, keep only the first `compact_samples` occupied
+    # samples of each ray (depth-ordered static compaction): the field
+    # runs on B x K points instead of B x S.  0 disables. Empty-space
+    # intervals contribute nothing (their cells have zero density), so
+    # compositing over the kept subset with full-ladder dt is exact as
+    # long as no occupied sample overflows the K budget.
+    compact_samples: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -143,3 +143,35 @@ def test_cell_variant_end_to_end_training():
                                        ds["c2ws"], ds["K"],
                                        jax.random.PRNGKey(0), cfg, tx, 1024)
     assert float(m["psnr"]) > 22.0, float(m["psnr"])
+
+
+def test_stochastic_end_to_end_training():
+    """Stochastic-corner training must still converge on the blob scene."""
+    from human_body_reconstruction_tpu.data import synthetic
+    from human_body_reconstruction_tpu.train import state as state_lib
+    from human_body_reconstruction_tpu.train import step as step_lib
+    from human_body_reconstruction_tpu.train import trainer as trainer_lib
+    from human_body_reconstruction_tpu.utils import config as C
+
+    cfg = C.PipelineConfig(
+        hash=C.HashConfig(num_levels=8, log2_table_size=12, n_min=4,
+                          n_max=128, stochastic_train=True),
+        render=C.RenderConfig(num_samples=32),
+        train=C.TrainConfig(ray_batch=1024),
+    )
+    ds = synthetic.make_dataset(n_views=6, H=40, W=40)
+    scene = trainer_lib.scene_from_dataset(ds, cfg)
+    params = trainer_lib.init_params(jax.random.PRNGKey(0), cfg)
+    state, tx = state_lib.create_train_state(params, cfg.train, 300)
+    for _ in range(300):
+        state, m = step_lib.train_step(state, scene, ds["images"],
+                                       ds["c2ws"], ds["K"],
+                                       jax.random.PRNGKey(0), cfg, tx, 1024)
+    assert float(m["psnr"]) > 20.0, float(m["psnr"])
+    # eval path (jitter=False) uses the exact interpolant and should be
+    # at least as good
+    img = step_lib.render_image(state.params, scene, 40, 40, ds["K"],
+                                ds["c2ws"][0], cfg, num_samples=64)
+    gt = np.asarray(ds["images"][0])
+    psnr = 10 * np.log10(1.0 / np.mean((img - gt) ** 2))
+    assert psnr > 20.0, psnr

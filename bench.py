@@ -28,7 +28,13 @@ def main():
 
     batch = 16384
     num_samples = 128
+    # TPU-tuned training configuration: unbiased stochastic-corner hash
+    # sampling with packed bf16-pair gathers — the per-lookup tile cost
+    # of TPU random access dominates this workload (docs/PERF_NOTES.md),
+    # so the tuned path minimises lookups per sample.  Eval renders use
+    # the exact interpolant.
     cfg = C.PipelineConfig(
+        hash=C.HashConfig(stochastic_train=True, packed=True),
         render=C.RenderConfig(num_samples=num_samples),
         train=C.TrainConfig(ray_batch=batch),
     )
@@ -54,16 +60,18 @@ def main():
         return step_lib.train_step(state, scene, ds["images"], ds["c2ws"],
                                    ds["K"], key, cfg, tx, batch)
 
-    # Warmup / compile.
+    # Warmup / compile.  Timings force a host sync every step (through
+    # the remote-execution tunnel of this environment, block_until_ready
+    # alone can return before the work is actually done).
     for _ in range(3):
         state, metrics = run_step(state)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])
 
-    iters = 30
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = run_step(state)
-    jax.block_until_ready(metrics)
+        float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     rays_per_sec = batch * iters / dt

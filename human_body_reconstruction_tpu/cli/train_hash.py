@@ -79,6 +79,9 @@ def build_parser():
     p.add_argument("--stochastic", action="store_true",
                    help="unbiased single-corner hash sampling during "
                         "training (8x fewer gathers)")
+    p.add_argument("--packed", action="store_true",
+                   help="with --stochastic: packed bf16-pair gathers "
+                        "(one lookup per point-level)")
     p.add_argument("--rgb_elu", action="store_true",
                    help="reference-parity ELU colour activation")
     p.add_argument("--white_bg", action="store_true")
@@ -96,7 +99,8 @@ def make_config(args):
         hash=C.HashConfig(n_max=int(args.max_res),
                           log2_table_size=int(args.hash_size),
                           variant=args.encoder_variant,
-                          stochastic_train=args.stochastic),
+                          stochastic_train=args.stochastic,
+                          packed=args.packed),
         mlp=C.MLPConfig(
             density_activation="sdf" if args.use_sdf else "leaky_relu",
             rgb_activation="elu" if args.rgb_elu else "sigmoid"),

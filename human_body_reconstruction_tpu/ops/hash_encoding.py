@@ -216,6 +216,83 @@ def hash_encode(table, x, mu, sigma, cfg: HashConfig):
     return jnp.stack(acc).transpose(2, 1, 0).reshape(N, L * F)
 
 
+def pack_table_bf16(table):
+    """(L, T, 2) fp32 table -> (L*T,) uint32 of packed bf16 pairs.
+
+    Feature f sits in bits [16f, 16f+16).  Used by the packed stochastic
+    gather: one uint32 lookup fetches both features, halving the
+    dominant per-lookup tile cost (docs/PERF_NOTES.md).
+    """
+    L, T, F = table.shape
+    assert F == 2, "packing supports exactly 2 features per level"
+    b16 = jax.lax.bitcast_convert_type(
+        table.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    packed = b16[..., 0] | (b16[..., 1] << 16)
+    return packed.reshape(L * T)
+
+
+def _unpack_bf16(word, half: int):
+    """uint32 packed pair -> fp32 of the bf16 in the given half."""
+    bits16 = (word >> (16 * half)) & jnp.uint32(0xFFFF)
+    return jax.lax.bitcast_convert_type((bits16 << 16).astype(jnp.uint32),
+                                        jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def hash_encode_stochastic_packed(table, x, mu, sigma, cfg: HashConfig, key):
+    """Packed-pair stochastic encoding: ONE uint32 gather per
+    (point, level) — bf16 feature pairs packed into one word — with a
+    custom VJP that scatters fp32 gradients straight into the table.
+
+    Numerically: forward features are bf16-rounded (the TPU analog of
+    Instant-NGP's fp16 tables); gradients and optimizer state stay fp32.
+    """
+    out, _ = _stoch_packed_fwd_impl(table, x, mu, sigma, cfg, key)
+    return out
+
+
+def _stoch_packed_indices(x, mu, sigma, cfg: HashConfig, key):
+    x0, frac = _level_coords(x, mu, sigma, cfg)
+    u = jax.random.uniform(key, frac.shape)
+    bits = (u < frac).astype(jnp.int32)
+    coord = (x0 + bits).astype(jnp.uint32)
+    idx = _hash_levels(coord, cfg)                               # (L, N)
+    L = idx.shape[0]
+    level_offsets = (jnp.arange(L, dtype=jnp.uint32)
+                     * jnp.uint32(cfg.table_size))
+    return (idx + level_offsets[:, None]).astype(jnp.int32)      # (L, N)
+
+
+def _stoch_packed_fwd_impl(table, x, mu, sigma, cfg, key):
+    L, T, F = table.shape
+    N = x.shape[0]
+    rows = _stoch_packed_indices(x, mu, sigma, cfg, key)
+    packed = pack_table_bf16(table)
+    words = jnp.take(packed, rows)                               # (L, N)
+    feats = [_unpack_bf16(words, f) for f in range(F)]           # F x (L, N)
+    out = jnp.stack(feats).transpose(2, 1, 0).reshape(N, L * F)
+    return out, rows
+
+
+def _stoch_packed_fwd(table, x, mu, sigma, cfg, key):
+    out, rows = _stoch_packed_fwd_impl(table, x, mu, sigma, cfg, key)
+    return out, (rows, table.shape)
+
+
+def _stoch_packed_bwd(cfg, res, g):
+    rows, tshape = res
+    L, T, F = tshape
+    N = g.shape[0]
+    gf = g.reshape(N, L, F).transpose(2, 1, 0)                   # (F, L, N)
+    flat = [jnp.zeros((L * T,), jnp.float32).at[rows].add(gf[f])
+            for f in range(F)]
+    dtable = jnp.stack(flat, axis=-1).reshape(L, T, F)
+    return dtable, None, None, None, None
+
+
+hash_encode_stochastic_packed.defvjp(_stoch_packed_fwd, _stoch_packed_bwd)
+
+
 def encode(table, x, mu, sigma, cfg: HashConfig, key=None,
            stochastic: bool = False):
     """Variant dispatcher.  ``stochastic`` (corner variant only) uses the
@@ -225,5 +302,8 @@ def encode(table, x, mu, sigma, cfg: HashConfig, key=None,
     if stochastic:
         if key is None:
             raise ValueError("stochastic hash encoding requires a PRNG key")
+        if cfg.packed and cfg.features_per_level == 2:
+            return hash_encode_stochastic_packed(table, x, mu, sigma, cfg,
+                                                 key)
         return hash_encode_stochastic(table, x, mu, sigma, cfg, key)
     return hash_encode(table, x, mu, sigma, cfg)

@@ -43,6 +43,10 @@ class HashConfig:
     # dominant TPU cost (docs/PERF_NOTES.md).  Eval always uses the
     # exact interpolant.
     stochastic_train: bool = False
+    # With stochastic_train: gather bf16 feature PAIRS packed into single
+    # uint32 words (one lookup per point-level instead of two); custom
+    # VJP scatters fp32 grads into the table.  Requires F == 2.
+    packed: bool = False
 
     @property
     def table_size(self) -> int:

@@ -175,3 +175,63 @@ def test_stochastic_end_to_end_training():
     gt = np.asarray(ds["images"][0])
     psnr = 10 * np.log10(1.0 / np.mean((img - gt) ** 2))
     assert psnr > 20.0, psnr
+
+
+def test_packed_matches_unpacked_stochastic():
+    cfg = HashConfig(num_levels=4, log2_table_size=10, n_min=4, n_max=64,
+                     stochastic_train=True, packed=True)
+    table = he.init_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    key = jax.random.PRNGKey(2)
+    plain = np.asarray(he.hash_encode_stochastic(table, x, 0.0, 1.0, cfg,
+                                                 key))
+    packed = np.asarray(he.hash_encode_stochastic_packed(
+        table, x, 0.0, 1.0, cfg, key))
+    # identical corners sampled (same key); values bf16-rounded
+    np.testing.assert_allclose(packed, plain, atol=2e-3, rtol=2e-2)
+
+
+def test_packed_gradient_matches():
+    cfg = HashConfig(num_levels=3, log2_table_size=8, n_min=4, n_max=32,
+                     stochastic_train=True, packed=True)
+    table = he.init_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+    key = jax.random.PRNGKey(2)
+
+    def loss_packed(t):
+        return jnp.sum(he.hash_encode_stochastic_packed(
+            t, x, 0.0, 1.0, cfg, key) ** 2) * 0.5
+
+    def loss_plain(t):
+        return jnp.sum(he.hash_encode_stochastic(
+            t, x, 0.0, 1.0, cfg, key) ** 2) * 0.5
+
+    gp = np.asarray(jax.grad(loss_packed)(table))
+    gu = np.asarray(jax.grad(loss_plain)(table))
+    # same sparsity pattern, values within bf16 tolerance
+    np.testing.assert_array_equal(np.abs(gp) > 0, np.abs(gu) > 0)
+    np.testing.assert_allclose(gp, gu, atol=2e-3, rtol=5e-2)
+
+
+def test_packed_end_to_end_training():
+    from human_body_reconstruction_tpu.data import synthetic
+    from human_body_reconstruction_tpu.train import state as state_lib
+    from human_body_reconstruction_tpu.train import step as step_lib
+    from human_body_reconstruction_tpu.train import trainer as trainer_lib
+    from human_body_reconstruction_tpu.utils import config as C
+
+    cfg = C.PipelineConfig(
+        hash=C.HashConfig(num_levels=8, log2_table_size=12, n_min=4,
+                          n_max=128, stochastic_train=True, packed=True),
+        render=C.RenderConfig(num_samples=32),
+        train=C.TrainConfig(ray_batch=1024),
+    )
+    ds = synthetic.make_dataset(n_views=6, H=40, W=40)
+    scene = trainer_lib.scene_from_dataset(ds, cfg)
+    params = trainer_lib.init_params(jax.random.PRNGKey(0), cfg)
+    state, tx = state_lib.create_train_state(params, cfg.train, 300)
+    for _ in range(300):
+        state, m = step_lib.train_step(state, scene, ds["images"],
+                                       ds["c2ws"], ds["K"],
+                                       jax.random.PRNGKey(0), cfg, tx, 1024)
+    assert float(m["psnr"]) > 20.0, float(m["psnr"])

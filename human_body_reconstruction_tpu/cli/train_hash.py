@@ -82,6 +82,9 @@ def build_parser():
     p.add_argument("--packed", action="store_true",
                    help="with --stochastic: packed bf16-pair gathers "
                         "(one lookup per point-level)")
+    p.add_argument("--compact", type=int, default=0,
+                   help="with --occupancy: keep only this many occupied "
+                        "samples per ray (static compaction)")
     p.add_argument("--rgb_elu", action="store_true",
                    help="reference-parity ELU colour activation")
     p.add_argument("--white_bg", action="store_true")
@@ -107,7 +110,8 @@ def make_config(args):
         render=C.RenderConfig(
             near=args.near, far=args.far, num_samples=args.num_samples,
             hierarchical=args.hierarchical, use_sdf=args.use_sdf,
-            white_background=args.white_bg, occupancy=args.occupancy),
+            white_background=args.white_bg, occupancy=args.occupancy,
+            compact_samples=args.compact),
         train=C.TrainConfig(
             num_epochs=args.num_epochs, ray_batch=args.num_batch,
             update_rate=args.update_rate, seed=args.seed),
@@ -134,7 +138,8 @@ def main(argv=None):
     cfg = make_config(args)
     ds = load_dataset(args)
     trainer = Trainer(cfg=cfg, ds=ds, out_dir=args.out_dir,
-                      model_name=args.model_name)
+                      model_name=args.model_name,
+                      log_grad_norms=args.plot_grads)
     if args.load:
         path = os.path.join(args.out_dir, f"{args.ckpt_name}_ckpt.npz")
         if not os.path.exists(path):

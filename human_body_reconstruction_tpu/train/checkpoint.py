@@ -61,19 +61,32 @@ def load_pytree(path: str, template: Any, extra_keys=()) -> Tuple[Any, dict]:
 
 def save_train_state(path: str, state):
     """Persist step + params + optimizer state (+ occupancy if present)."""
-    save_pytree(path, (state.params, state.opt_state),
-                extra={"step": int(state.step)})
+    extra = {"step": int(state.step)}
+    if state.occ is not None:
+        extra["occ_density"] = state.occ.density
+        extra["occ_mask"] = state.occ.mask
+        extra["occ_threshold"] = state.occ.threshold
+    save_pytree(path, (state.params, state.opt_state), extra=extra)
 
 
 def load_train_state(path: str, state):
     (params, opt_state), extra = load_pytree(
-        path, (state.params, state.opt_state), extra_keys=("step",))
+        path, (state.params, state.opt_state),
+        extra_keys=("step", "occ_density", "occ_mask", "occ_threshold"))
     import jax.numpy as jnp
 
+    occ = state.occ
+    if occ is not None and "occ_density" in extra:
+        from human_body_reconstruction_tpu.ops.occupancy import OccupancyGrid
+
+        occ = OccupancyGrid(density=jnp.asarray(extra["occ_density"]),
+                            mask=jnp.asarray(extra["occ_mask"]),
+                            threshold=jnp.asarray(extra["occ_threshold"]))
     return state._replace(
         params=jax.tree.map(jnp.asarray, params),
         opt_state=jax.tree.map(jnp.asarray, opt_state),
-        step=jnp.asarray(int(extra.get("step", 0)), jnp.int32))
+        step=jnp.asarray(int(extra.get("step", 0)), jnp.int32),
+        occ=occ)
 
 
 def save_bounds(path: str, min_bound, max_bound):

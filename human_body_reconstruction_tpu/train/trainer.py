@@ -29,6 +29,16 @@ from human_body_reconstruction_tpu.train import step as step_lib
 from human_body_reconstruction_tpu.utils.config import PipelineConfig
 
 
+def _probe_loss(params, scene, ds, key, cfg, occ):
+    """Small forward for gradient-norm diagnostics."""
+    from human_body_reconstruction_tpu.train.step import (loss_fn,
+                                                          sample_ray_batch)
+
+    batch = sample_ray_batch(key, ds["images"], ds["c2ws"], ds["K"], 256)
+    loss, _ = loss_fn(params, scene, batch, key, cfg, occ, None)
+    return loss
+
+
 def init_params(key, cfg: PipelineConfig):
     k1, k2 = jax.random.split(key)
     params = {
@@ -58,6 +68,9 @@ class Trainer:
     model_name: str = "default"
     bounds_path: str = "bounds_model.npy"
     log_fn: Callable[[str], None] = print
+    write_metrics: bool = True     # CSV/JSONL via MetricsLogger
+    log_grad_norms: bool = False   # per-group grad norms (plot_grad_flow
+                                   # capability, reference helper.py:239)
 
     def __post_init__(self):
         cfg = self.cfg
@@ -75,6 +88,12 @@ class Trainer:
             self.params, cfg.train, self.total_steps, occ=occ)
         self.key = jax.random.PRNGKey(cfg.train.seed)
         self.history = []
+        from human_body_reconstruction_tpu.utils.observability import (
+            MetricsLogger)
+
+        self.metrics = MetricsLogger(
+            out_dir=self.out_dir if self.write_metrics else None,
+            name=f"{self.model_name}_metrics", stdout=False)
 
     # -- checkpointing ----------------------------------------------------
     def ckpt_path(self):
@@ -130,7 +149,17 @@ class Trainer:
                 if self.state.occ is not None:
                     rec["occupied_frac"] = float(
                         occupancy.occupied_fraction(self.state.occ))
+                if self.log_grad_norms:
+                    from human_body_reconstruction_tpu.utils import (
+                        observability as obs)
+
+                    g = jax.grad(_probe_loss)(self.state.params, self.scene,
+                                              self.ds, self.key, cfg,
+                                              self.state.occ)
+                    rec.update({k: float(v)
+                                for k, v in obs.grad_norms(g).items()})
                 self.history.append(rec)
+                self.metrics.log(rec)
                 self.log_fn(
                     f"step {rec['step']:7d}  loss {rec['loss']:.5f}  "
                     f"psnr {rec['psnr']:6.2f}  {rps/1e6:7.3f} Mrays/s")

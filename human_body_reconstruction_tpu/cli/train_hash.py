@@ -119,16 +119,30 @@ def make_config(args):
 
 
 def load_dataset(args):
+    """-> (train_ds, eval_ds-or-None).  Test poses come from
+    transforms_tmp.json / transforms_test.json when present (the
+    reference evals on transforms_tmp.json, train_hash2.py:57)."""
     from human_body_reconstruction_tpu.data import datasets, synthetic
 
     if args.synthetic or args.data_path == "synthetic":
         return synthetic.make_dataset(n_views=12, H=96, W=96,
-                                      near=args.near, far=args.far)
+                                      near=args.near, far=args.far), None
     data_path = args.data_path or "data/lego/"
     json_path = os.path.join(data_path, "transforms_train.json")
+    if not os.path.exists(json_path):
+        json_path = os.path.join(data_path, "transforms.json")
     ds = datasets.load_nerf_json(json_path, white_background=args.white_bg,
                                  downscale=args.downscale)
-    return datasets.to_device(ds)
+    eval_ds = None
+    for name in ("transforms_tmp.json", "transforms_test.json",
+                 "transforms_val.json"):
+        p = os.path.join(data_path, name)
+        if os.path.exists(p):
+            eval_ds = datasets.to_device(datasets.load_nerf_json(
+                p, white_background=args.white_bg,
+                downscale=args.downscale))
+            break
+    return datasets.to_device(ds), eval_ds
 
 
 def main(argv=None):
@@ -136,10 +150,10 @@ def main(argv=None):
     from human_body_reconstruction_tpu.train.trainer import Trainer
 
     cfg = make_config(args)
-    ds = load_dataset(args)
+    ds, eval_ds = load_dataset(args)
     trainer = Trainer(cfg=cfg, ds=ds, out_dir=args.out_dir,
                       model_name=args.model_name,
-                      log_grad_norms=args.plot_grads)
+                      log_grad_norms=args.plot_grads, eval_ds=eval_ds)
     if args.load:
         path = os.path.join(args.out_dir, f"{args.ckpt_name}_ckpt.npz")
         if not os.path.exists(path):

@@ -71,6 +71,8 @@ class Trainer:
     write_metrics: bool = True     # CSV/JSONL via MetricsLogger
     log_grad_norms: bool = False   # per-group grad norms (plot_grad_flow
                                    # capability, reference helper.py:239)
+    eval_ds: Optional[dict] = None  # held-out views (reference evals on
+                                    # transforms_tmp.json, train_hash2.py:57)
 
     def __post_init__(self):
         cfg = self.cfg
@@ -179,12 +181,13 @@ class Trainer:
         ./results, train_hash2.py:297; we write the raw [0,1] clip and
         log true PSNR)."""
         cfg = self.cfg
+        ds = self.eval_ds if self.eval_ds is not None else self.ds
         img = step_lib.render_image(
-            self.state.params, self.scene, self.ds["H"], self.ds["W"],
-            self.ds["K"], self.ds["c2ws"][pose_idx], cfg,
+            self.state.params, self.scene, ds["H"], ds["W"],
+            ds["K"], ds["c2ws"][pose_idx], cfg,
             occ=self.state.occ, num_samples=num_samples,
             hierarchical=cfg.render.hierarchical)
-        gt = np.asarray(self.ds["images"][pose_idx])
+        gt = np.asarray(ds["images"][pose_idx])
         mse = float(np.mean((img - gt) ** 2))
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
         if write_png:

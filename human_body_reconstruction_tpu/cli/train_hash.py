@@ -151,19 +151,21 @@ def main(argv=None):
 
     cfg = make_config(args)
     ds, eval_ds = load_dataset(args)
+
+    n_pixels = int(ds["images"].shape[0]) * ds["H"] * ds["W"]
+    steps_per_epoch = max(1, n_pixels // args.num_batch)
+    steps = args.steps if args.steps else args.num_epochs * steps_per_epoch
+
     trainer = Trainer(cfg=cfg, ds=ds, out_dir=args.out_dir,
                       model_name=args.model_name,
-                      log_grad_norms=args.plot_grads, eval_ds=eval_ds)
+                      log_grad_norms=args.plot_grads, eval_ds=eval_ds,
+                      total_steps=steps)
     if args.load:
         path = os.path.join(args.out_dir, f"{args.ckpt_name}_ckpt.npz")
         if not os.path.exists(path):
             path = trainer.ckpt_path()
         trainer.load(path)
         print(f"resumed from {path} at step {int(trainer.state.step)}")
-
-    n_pixels = int(ds["images"].shape[0]) * ds["H"] * ds["W"]
-    steps_per_epoch = max(1, n_pixels // args.num_batch)
-    steps = args.steps if args.steps else args.num_epochs * steps_per_epoch
     # ~100 eval renders over a long run, but never more often than every
     # 100 steps (an eval render costs many training steps).
     eval_every = args.eval_every or (max(100, steps // 100) if args.write

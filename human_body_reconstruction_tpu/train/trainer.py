@@ -73,6 +73,8 @@ class Trainer:
                                    # capability, reference helper.py:239)
     eval_ds: Optional[dict] = None  # held-out views (reference evals on
                                     # transforms_tmp.json, train_hash2.py:57)
+    total_steps: Optional[int] = None  # cosine-schedule horizon; defaults
+                                       # to num_epochs * steps-per-epoch
 
     def __post_init__(self):
         cfg = self.cfg
@@ -84,8 +86,9 @@ class Trainer:
         self.params = init_params(jax.random.PRNGKey(cfg.train.seed), cfg)
         occ = (occupancy.init_grid(cfg.render.occupancy_resolution)
                if cfg.render.occupancy else None)
-        self.total_steps = cfg.train.num_epochs * max(
-            1, (self.ds["images"].size // 3) // cfg.train.ray_batch)
+        if self.total_steps is None:
+            self.total_steps = cfg.train.num_epochs * max(
+                1, (self.ds["images"].size // 3) // cfg.train.ray_batch)
         self.state, self.tx = state_lib.create_train_state(
             self.params, cfg.train, self.total_steps, occ=occ)
         self.key = jax.random.PRNGKey(cfg.train.seed)

@@ -66,9 +66,7 @@ def main(argv=None):
 
     bound_path = args.bound_pth
     if not os.path.exists(bound_path):
-        alt = os.path.join(args.ckpt_dir, os.path.basename(bound_path))
-        if os.path.exists(alt) or True:
-            bound_path = alt
+        bound_path = os.path.join(args.ckpt_dir, os.path.basename(bound_path))
     lo, hi = ckpt_lib.load_bounds(bound_path)
     scene = {"mu": jnp.asarray(lo),
              "sigma": jnp.sqrt(jnp.sum((jnp.asarray(hi) - lo) ** 2)),

@@ -89,3 +89,32 @@ def replicate_to_mesh(tree, mesh: Mesh):
     """Place a pytree fully-replicated on the mesh."""
     sharding = jax.sharding.NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def make_dp_render(cfg: PipelineConfig, mesh: Mesh, num_samples: int = 256,
+                   hierarchical: bool = False):
+    """Jitted eval render with the ray axis sharded across the mesh.
+
+    Returns render(params, scene, rays_o, rays_d, dir_norm, key) -> rgb;
+    the global ray count must divide the mesh size.  Params replicated,
+    rays sharded, zero collectives (each chip renders its slice).
+    """
+    from human_body_reconstruction_tpu.models import nerf
+
+    def shard_fn(params, scene, rays_o, rays_d, dir_norm, key):
+        out = nerf.render_rays(params, scene, rays_o, rays_d, dir_norm,
+                               key, cfg, num_samples=num_samples,
+                               hierarchical=hierarchical, jitter=False,
+                               compute_dtype=jnp.bfloat16)
+        return out["fine"]
+
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=P(DATA_AXIS), check_vma=False)
+
+    @jax.jit
+    def render(params, scene, rays_o, rays_d, dir_norm, key):
+        return sharded(params, scene, rays_o, rays_d, dir_norm, key)
+
+    return render

@@ -120,3 +120,25 @@ def test_dp_matches_single_device_gradient_direction(dataset):
     dp_loss, s_loss = float(dm["loss"]), float(sm["loss"])
     assert dp_loss < 0.06 and s_loss < 0.06, (dp_loss, s_loss)
     assert dp_loss < 3 * s_loss + 0.01
+
+
+def test_dp_render_matches_single_device(dataset):
+    """Mesh-sharded eval render must equal the single-device render."""
+    from human_body_reconstruction_tpu.models import nerf
+    from human_body_reconstruction_tpu.ops import rays as rays_lib
+
+    cfg = small_cfg()
+    mesh = dp.make_mesh()
+    state, tx = build_state(cfg)
+    scene = make_scene(dataset)
+    render = dp.make_dp_render(cfg, mesh, num_samples=16)
+
+    o, d, n = rays_lib.full_image_rays(16, 16, dataset["K"],
+                                       dataset["c2ws"][0])
+    key = jax.random.PRNGKey(0)
+    got = render(state.params, scene, o, d, n, key)
+    want = nerf.render_rays(state.params, scene, o, d, n, key, cfg,
+                            num_samples=16, jitter=False,
+                            compute_dtype=jnp.bfloat16)["fine"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)

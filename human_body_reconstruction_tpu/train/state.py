@@ -39,14 +39,23 @@ def cosine_to_floor(lr: float, lr_final: float, total_steps: int):
     return sched
 
 
+def _make_schedule(cfg: TrainConfig, lr: float, total_steps: int):
+    if cfg.schedule == "onecycle":
+        # reference train_hash.py:133-142 / test_hash.py:113-122 use
+        # OneCycleLR with cosine annealing
+        return optax.cosine_onecycle_schedule(
+            transition_steps=max(total_steps, 1), peak_value=lr)
+    return cosine_to_floor(lr, cfg.lr_final, total_steps)
+
+
 def make_optimizer(cfg: TrainConfig, total_steps: int, params):
     """Build the grouped optimizer for a hash-NeRF param pytree
     {"table": ..., "mlp": ...[, "var": ...]}."""
     tx_table = optax.adam(
-        learning_rate=cosine_to_floor(cfg.lr_hash, cfg.lr_final, total_steps),
+        learning_rate=_make_schedule(cfg, cfg.lr_hash, total_steps),
         eps=1e-15)
     tx_mlp = optax.adamw(
-        learning_rate=cosine_to_floor(cfg.lr_mlp, cfg.lr_final, total_steps),
+        learning_rate=_make_schedule(cfg, cfg.lr_mlp, total_steps),
         weight_decay=cfg.weight_decay)
     transforms = {"table": tx_table, "mlp": tx_mlp}
     if "var" in params:

@@ -152,6 +152,8 @@ class TrainConfig:
     lr_hash: float = 0.05           # Adam on the hash table
     lr_mlp: float = 0.005           # AdamW on the MLP
     lr_final: float = 1e-4          # cosine floor (CosineAnnealingLR eta_min)
+    schedule: str = "cosine"        # "cosine" (train_hash2.py:156-162) or
+                                    # "onecycle" (train_hash.py:133-142)
     weight_decay: float = 0.01
     eikonal_weight: float = 0.1     # reference train_hash2.py:224
     lr_var: float = 0.01            # SDF var-model optimizer (ref :165)

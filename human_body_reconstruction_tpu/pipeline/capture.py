@@ -37,13 +37,12 @@ def run_ffmpeg(video_in: str, images_dir: str, fps: float = 2.0,
     for f in os.listdir(images_dir):
         if f.endswith((".jpg", ".png")):
             os.remove(os.path.join(images_dir, f))
-    time_args = []
     vf = f"fps={fps}"
     if time_slice:
         t1, t2 = time_slice.split(",")
         vf += f",select='between(t\\,{t1}\\,{t2})'"
     _run(["ffmpeg", "-i", video_in, "-qscale:v", "1", "-qmin", "1",
-          "-vf", vf, *time_args, os.path.join(images_dir, "%04d.jpg")])
+          "-vf", vf, os.path.join(images_dir, "%04d.jpg")])
 
 
 def run_colmap(images: str, db: str = "colmap.db",

@@ -26,7 +26,7 @@ def main():
     from human_body_reconstruction_tpu.train import step as step_lib
     from human_body_reconstruction_tpu.utils import config as C
 
-    batch = 16384
+    batch = 32768
     num_samples = 128
     compact = 48
     # TPU-tuned training configuration: unbiased stochastic-corner hash
@@ -70,7 +70,6 @@ def main():
             occ, lambda p: synthetic.blob_field(p)[1],
             jax.random.PRNGKey(k), scene["mu"], scene["sigma"],
             num_cells=cfg.render.occupancy_resolution ** 3)
-    import numpy as _np
     occ_frac = float(occupancy.occupied_fraction(occ))
 
     state, tx = state_lib.create_train_state(params, cfg.train, 1000,

@@ -82,6 +82,8 @@ def build_parser():
     p.add_argument("--packed", action="store_true",
                    help="with --stochastic: packed bf16-pair gathers "
                         "(one lookup per point-level)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the ray batch over all visible devices")
     p.add_argument("--compact", type=int, default=0,
                    help="with --occupancy: keep only this many occupied "
                         "samples per ray (static compaction)")
@@ -159,7 +161,7 @@ def main(argv=None):
     trainer = Trainer(cfg=cfg, ds=ds, out_dir=args.out_dir,
                       model_name=args.model_name,
                       log_grad_norms=args.plot_grads, eval_ds=eval_ds,
-                      total_steps=steps)
+                      total_steps=steps, data_parallel=args.data_parallel)
     if args.load:
         path = os.path.join(args.out_dir, f"{args.ckpt_name}_ckpt.npz")
         if not os.path.exists(path):

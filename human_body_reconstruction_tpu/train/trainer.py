@@ -75,6 +75,8 @@ class Trainer:
                                     # transforms_tmp.json, train_hash2.py:57)
     total_steps: Optional[int] = None  # cosine-schedule horizon; defaults
                                        # to num_epochs * steps-per-epoch
+    data_parallel: bool = False        # shard the ray batch over all
+                                       # devices (1-D mesh, pmean grads)
 
     def __post_init__(self):
         cfg = self.cfg
@@ -91,6 +93,18 @@ class Trainer:
                 1, (self.ds["images"].size // 3) // cfg.train.ray_batch)
         self.state, self.tx = state_lib.create_train_state(
             self.params, cfg.train, self.total_steps, occ=occ)
+        self.mesh = None
+        self._dp_step = None
+        if self.data_parallel and len(jax.devices()) > 1:
+            from human_body_reconstruction_tpu.parallel import (
+                data_parallel as dp)
+
+            self.mesh = dp.make_mesh()
+            self._dp_step = dp.make_dp_train_step(
+                cfg, self.tx, cfg.train.ray_batch, self.mesh)
+            self.state = dp.replicate_to_mesh(self.state, self.mesh)
+            self.log_fn(f"data-parallel over {self.mesh.devices.size} "
+                        "devices")
         self.key = jax.random.PRNGKey(cfg.train.seed)
         self.history = []
         from human_body_reconstruction_tpu.utils.observability import (
@@ -134,9 +148,15 @@ class Trainer:
         t_last = time.perf_counter()
         rays_done = 0
         for i in range(steps):
-            self.state, metrics = step_lib.train_step(
-                self.state, self.scene, self.ds["images"], self.ds["c2ws"],
-                self.ds["K"], self.key, cfg, self.tx, cfg.train.ray_batch)
+            if self._dp_step is not None:
+                self.state, metrics = self._dp_step(
+                    self.state, self.scene, self.ds["images"],
+                    self.ds["c2ws"], self.ds["K"], self.key)
+            else:
+                self.state, metrics = step_lib.train_step(
+                    self.state, self.scene, self.ds["images"],
+                    self.ds["c2ws"], self.ds["K"], self.key, cfg, self.tx,
+                    cfg.train.ray_batch)
             rays_done += cfg.train.ray_batch
 
             step_no = int(self.state.step)

@@ -276,14 +276,29 @@ def _stoch_packed_fwd_impl(table, x, mu, sigma, cfg, key):
 
 def _stoch_packed_fwd(table, x, mu, sigma, cfg, key):
     out, rows = _stoch_packed_fwd_impl(table, x, mu, sigma, cfg, key)
-    return out, (rows, table.shape)
+    pick = None
+    if cfg.grad_subsample:
+        # fresh per-step feature choice (a step-invariant choice would
+        # starve the unchosen feature of gradient)
+        pick = jax.random.bernoulli(jax.random.fold_in(key, 1),
+                                    0.5, rows.shape)
+    return out, (rows, pick, table.shape)
 
 
 def _stoch_packed_bwd(cfg, res, g):
-    rows, tshape = res
+    rows, pick, tshape = res
     L, T, F = tshape
     N = g.shape[0]
     gf = g.reshape(N, L, F).transpose(2, 1, 0)                   # (F, L, N)
+    if cfg.grad_subsample and F == 2:
+        # Unbiased scatter subsampling: per (point, level) route 2x the
+        # gradient of ONE randomly chosen feature — halves scatter
+        # contributions, the dominant backward cost (PERF_NOTES.md).
+        pick_f = pick.astype(jnp.float32)
+        g_sel = 2.0 * (gf[0] * (1.0 - pick_f) + gf[1] * pick_f)
+        flat_idx = rows * F + pick.astype(jnp.int32)
+        dflat = jnp.zeros((L * T * F,), jnp.float32).at[flat_idx].add(g_sel)
+        return dflat.reshape(L, T, F), None, None, None, None
     flat = [jnp.zeros((L * T,), jnp.float32).at[rows].add(gf[f])
             for f in range(F)]
     dtable = jnp.stack(flat, axis=-1).reshape(L, T, F)

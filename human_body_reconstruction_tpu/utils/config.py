@@ -47,6 +47,10 @@ class HashConfig:
     # uint32 words (one lookup per point-level instead of two); custom
     # VJP scatters fp32 grads into the table.  Requires F == 2.
     packed: bool = False
+    # With packed: scatter 2x the gradient of one randomly chosen feature
+    # per (point, level) instead of both — unbiased, halves the backward
+    # scatter volume.
+    grad_subsample: bool = False
 
     @property
     def table_size(self) -> int:

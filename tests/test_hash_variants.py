@@ -235,3 +235,57 @@ def test_packed_end_to_end_training():
                                        ds["c2ws"], ds["K"],
                                        jax.random.PRNGKey(0), cfg, tx, 1024)
     assert float(m["psnr"]) > 20.0, float(m["psnr"])
+
+
+def test_grad_subsample_unbiased_and_converges():
+    cfg = HashConfig(num_levels=3, log2_table_size=8, n_min=4, n_max=32,
+                     stochastic_train=True, packed=True,
+                     grad_subsample=True)
+    table = he.init_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+
+    def loss(t, key):
+        return jnp.sum(he.hash_encode_stochastic_packed(
+            t, x, 0.0, 1.0, cfg, key) ** 2) * 0.5
+
+    cfg_full = HashConfig(num_levels=3, log2_table_size=8, n_min=4,
+                          n_max=32, stochastic_train=True, packed=True)
+
+    # mean of subsampled grads over many keys ~= full grad (same keys)
+    keys = jax.random.split(jax.random.PRNGKey(2), 400)
+    gs = jax.vmap(lambda k: jax.grad(
+        lambda t: jnp.sum(he.hash_encode_stochastic_packed(
+            t, x, 0.0, 1.0, cfg, k) ** 2) * 0.5)(table))(keys)
+    gf = jax.vmap(lambda k: jax.grad(
+        lambda t: jnp.sum(he.hash_encode_stochastic_packed(
+            t, x, 0.0, 1.0, cfg_full, k) ** 2) * 0.5)(table))(keys)
+    mean_sub = np.asarray(jnp.mean(gs, axis=0))
+    mean_full = np.asarray(jnp.mean(gf, axis=0))
+    scale = np.abs(mean_full).max() + 1e-6
+    np.testing.assert_allclose(mean_sub / scale, mean_full / scale,
+                               atol=0.15)
+
+
+def test_grad_subsample_end_to_end():
+    from human_body_reconstruction_tpu.data import synthetic
+    from human_body_reconstruction_tpu.train import state as state_lib
+    from human_body_reconstruction_tpu.train import step as step_lib
+    from human_body_reconstruction_tpu.train import trainer as trainer_lib
+    from human_body_reconstruction_tpu.utils import config as C
+
+    cfg = C.PipelineConfig(
+        hash=C.HashConfig(num_levels=8, log2_table_size=12, n_min=4,
+                          n_max=128, stochastic_train=True, packed=True,
+                          grad_subsample=True),
+        render=C.RenderConfig(num_samples=32),
+        train=C.TrainConfig(ray_batch=1024),
+    )
+    ds = synthetic.make_dataset(n_views=6, H=40, W=40)
+    scene = trainer_lib.scene_from_dataset(ds, cfg)
+    params = trainer_lib.init_params(jax.random.PRNGKey(0), cfg)
+    state, tx = state_lib.create_train_state(params, cfg.train, 300)
+    for _ in range(300):
+        state, m = step_lib.train_step(state, scene, ds["images"],
+                                       ds["c2ws"], ds["K"],
+                                       jax.random.PRNGKey(0), cfg, tx, 1024)
+    assert float(m["psnr"]) > 20.0, float(m["psnr"])

@@ -37,7 +37,8 @@ def main():
     # (the Instant-NGP operating point).  Eval renders use the exact
     # interpolant.
     cfg = C.PipelineConfig(
-        hash=C.HashConfig(stochastic_train=True, packed=True),
+        hash=C.HashConfig(stochastic_train=True, packed=True,
+                          grad_subsample=True),
         render=C.RenderConfig(num_samples=num_samples, occupancy=True,
                               occupancy_resolution=128,
                               compact_samples=compact),

@@ -84,6 +84,9 @@ def build_parser():
                         "(one lookup per point-level)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the ray batch over all visible devices")
+    p.add_argument("--grad_subsample", action="store_true",
+                   help="with --packed: unbiased single-feature gradient "
+                        "scatter (halves backward scatter volume)")
     p.add_argument("--compact", type=int, default=0,
                    help="with --occupancy: keep only this many occupied "
                         "samples per ray (static compaction)")
@@ -105,7 +108,8 @@ def make_config(args):
                           log2_table_size=int(args.hash_size),
                           variant=args.encoder_variant,
                           stochastic_train=args.stochastic,
-                          packed=args.packed),
+                          packed=args.packed,
+                          grad_subsample=args.grad_subsample),
         mlp=C.MLPConfig(
             density_activation="sdf" if args.use_sdf else "leaky_relu",
             rgb_activation="elu" if args.rgb_elu else "sigmoid"),

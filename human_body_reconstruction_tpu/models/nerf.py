@@ -72,7 +72,7 @@ def sdf_finite_difference_normals(params, scene, pts, cfg: PipelineConfig,
 
 def _render_pass(params, scene, rays_o, rays_d, dir_norm, t,
                  cfg: PipelineConfig, occ: Optional[occupancy.OccupancyGrid],
-                 compute_dtype, encode_key=None):
+                 compute_dtype, encode_key=None, allow_compact=True):
     """One encode->MLP->composite pass at the given t samples (B, S).
 
     With occupancy + ``compact_samples`` K > 0, each ray keeps only its
@@ -86,7 +86,7 @@ def _render_pass(params, scene, rays_o, rays_d, dir_norm, t,
     dt_full = jnp.concatenate(
         [t[..., 1:] - t[..., :-1], jnp.zeros_like(t[..., :1])], axis=-1)
 
-    K = cfg.render.compact_samples
+    K = cfg.render.compact_samples if allow_compact else 0
     mask = None
     dt = None
     if occ is not None:
@@ -150,9 +150,12 @@ def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
         per_ray_jitter=cfg.render.per_ray_jitter,
         log_sampling=cfg.render.log_sampling, jitter=jitter)
 
+    # compaction truncates rays to a fixed occupied-sample budget sized
+    # for the training sample count; eval renders (jitter off, often many
+    # more samples) use the plain masked path
     coarse, weights, density, pts, t_eff = _render_pass(
         params, scene, rays_o, rays_d, dir_norm, t, cfg, occ, compute_dtype,
-        encode_key=enc_key)
+        encode_key=enc_key, allow_compact=jitter)
 
     out = {"coarse": coarse, "weights": weights, "t": t_eff}
 
@@ -163,7 +166,8 @@ def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
         fine, fweights, fdensity, fpts, _ = _render_pass(
             params, scene, rays_o, rays_d, dir_norm, t_fine, cfg, occ,
             compute_dtype,
-            encode_key=(k_enc2 if enc_key is not None else None))
+            encode_key=(k_enc2 if enc_key is not None else None),
+            allow_compact=jitter)
         out["fine"] = fine
         out["fine_weights"] = fweights
         sdf_pts = fpts

@@ -56,21 +56,26 @@ def test_compacted_render_matches_full():
     o, d, n = step_lib.sample_ray_batch(key, ds["images"], ds["c2ws"],
                                         ds["K"], 256)[:3]
 
+    # jitter=True: the training path, where compaction applies; same key
+    # -> identical stratified t for both renders
     full = nerf.render_rays(state.params, scene, o, d, n, key, cfg,
-                            occ=occ, jitter=False)["fine"]
+                            occ=occ, jitter=True)["fine"]
 
     K = 48
     cfg_c = make_cfg(compact=K)
     compacted = nerf.render_rays(state.params, scene, o, d, n, key, cfg_c,
-                                 occ=occ, jitter=False)["fine"]
+                                 occ=occ, jitter=True)["fine"]
 
     # rays whose occupied-sample count fits the K budget must match
     # the full render EXACTLY (compaction only drops empty intervals);
     # overflowing rays may differ (their deepest samples are dropped).
     from human_body_reconstruction_tpu.ops import sampling
 
-    t = sampling.stratified_ts(key, (256,), cfg.render.near, cfg.render.far,
-                               cfg.render.num_samples, jitter=False)
+    k_strat = jax.random.split(key, 4)[0]   # matches render_rays' split
+    t = sampling.stratified_ts(k_strat, (256,), cfg.render.near,
+                               cfg.render.far, cfg.render.num_samples,
+                               per_ray_jitter=cfg.render.per_ray_jitter,
+                               jitter=True)
     pts = o[:, None, :] + d[:, None, :] * t[..., None]
     occ_count = np.asarray(occupancy.lookup(occ, pts, scene["mu"],
                                             scene["sigma"]).sum(-1))
@@ -93,3 +98,22 @@ def test_compaction_training_runs():
                                        ds["c2ws"], ds["K"],
                                        jax.random.PRNGKey(0), cfg, tx, 256)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_compaction_disabled_at_eval():
+    """Eval renders (jitter=False) must ignore the compaction budget —
+    a K sized for 64 training samples would truncate dense 256-sample
+    eval rays (regression test for the train/eval PSNR gap)."""
+    cfg, ds, scene, state = trained_setup(steps=50)
+    occ = occupancy.init_grid(32, threshold=0.05)
+    key = jax.random.PRNGKey(3)
+    o, d, n = step_lib.sample_ray_batch(key, ds["images"], ds["c2ws"],
+                                        ds["K"], 64)[:3]
+    cfg_c = make_cfg(compact=8)  # absurdly small budget
+    with_c = nerf.render_rays(state.params, scene, o, d, n, key, cfg_c,
+                              occ=occ, jitter=False)["fine"]
+    without = nerf.render_rays(state.params, scene, o, d, n, key,
+                               make_cfg(compact=0), occ=occ,
+                               jitter=False)["fine"]
+    np.testing.assert_allclose(np.asarray(with_c), np.asarray(without),
+                               atol=1e-6)

@@ -96,6 +96,9 @@ def build_parser():
     p.add_argument("--downscale", type=int, default=1)
     p.add_argument("--synthetic", action="store_true",
                    help="procedural demo scene instead of a dataset dir")
+    p.add_argument("--synthetic_subject", type=str, default="blobs",
+                   choices=["blobs", "human"],
+                   help="procedural subject for --synthetic")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -131,8 +134,12 @@ def load_dataset(args):
     from human_body_reconstruction_tpu.data import datasets, synthetic
 
     if args.synthetic or args.data_path == "synthetic":
+        field = (synthetic.humanoid_field
+                 if args.synthetic_subject == "human"
+                 else synthetic.blob_field)
         return synthetic.make_dataset(n_views=12, H=96, W=96,
-                                      near=args.near, far=args.far), None
+                                      near=args.near, far=args.far,
+                                      field=field, elevation=0.15), None
     data_path = args.data_path or "data/lego/"
     json_path = os.path.join(data_path, "transforms_train.json")
     if not os.path.exists(json_path):

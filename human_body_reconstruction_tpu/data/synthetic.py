@@ -61,6 +61,46 @@ def blob_field(pts):
     return rgb, sigma
 
 
+def _capsule_dist(pts, a, b, r):
+    """Distance from pts to the capsule with axis segment a-b, radius r."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    ab = b - a
+    t = jnp.clip(jnp.dot(pts - a, ab) / jnp.dot(ab, ab), 0.0, 1.0)
+    closest = a + t[:, None] * ab
+    return jnp.linalg.norm(pts - closest, axis=-1) - r
+
+
+# (a, b, radius, rgb) — a stick figure ~1.6 units tall centred on origin
+_HUMANOID_PARTS = (
+    ((0.0, 0.0, 0.55), (0.0, 0.0, 0.75), 0.13, (0.9, 0.75, 0.65)),   # head
+    ((0.0, 0.0, 0.05), (0.0, 0.0, 0.45), 0.17, (0.2, 0.35, 0.7)),    # torso
+    ((-0.16, 0.0, 0.42), (-0.42, 0.0, 0.05), 0.06, (0.9, 0.75, 0.65)),  # L arm
+    ((0.16, 0.0, 0.42), (0.42, 0.0, 0.05), 0.06, (0.9, 0.75, 0.65)),   # R arm
+    ((-0.09, 0.0, -0.05), (-0.12, 0.0, -0.75), 0.07, (0.25, 0.25, 0.3)),  # L leg
+    ((0.09, 0.0, -0.05), (0.12, 0.0, -0.75), 0.07, (0.25, 0.25, 0.3)),   # R leg
+)
+
+
+def humanoid_field(pts):
+    """Analytic emissive volume shaped like a standing figure.
+
+    A harder, articulated test subject for the reconstruction pipeline
+    (the framework's actual purpose); density falls off smoothly at each
+    capsule surface, colour comes from the nearest part.
+    Returns (rgb (N, 3), sigma (N,)).
+    """
+    dists = jnp.stack([_capsule_dist(pts, a, b, r)
+                       for a, b, r, _ in _HUMANOID_PARTS], axis=-1)  # (N, P)
+    colors = jnp.asarray([c for _, _, _, c in _HUMANOID_PARTS])      # (P, 3)
+    sharp = 60.0
+    part_sigma = 50.0 * jax.nn.sigmoid(-sharp * dists)               # (N, P)
+    sigma = jnp.sum(part_sigma, axis=-1)
+    w = part_sigma / (sigma[:, None] + 1e-9)
+    rgb = w @ colors
+    return rgb, sigma
+
+
 def render_gt_image(H: int, W: int, K, c2w, field=blob_field,
                     near: float = 2.0, far: float = 6.0,
                     num_samples: int = 256):
@@ -77,13 +117,19 @@ def render_gt_image(H: int, W: int, K, c2w, field=blob_field,
 
 
 def make_dataset(n_views: int = 8, H: int = 48, W: int = 48,
-                 focal: float = 55.0, near: float = 2.0, far: float = 6.0):
-    """Full tiny synthetic dataset: images + poses + intrinsics."""
+                 focal: float = 55.0, near: float = 2.0, far: float = 6.0,
+                 field=blob_field, radius: float = 4.0,
+                 elevation: float = 0.5):
+    """Full tiny synthetic dataset: images + poses + intrinsics.
+
+    ``field`` selects the subject: :func:`blob_field` (default, smooth)
+    or :func:`humanoid_field` (articulated standing figure).
+    """
     K = jnp.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
                     jnp.float32)
-    c2ws = orbit_poses(n_views)
+    c2ws = orbit_poses(n_views, radius=radius, elevation=elevation)
     images = np.stack([
-        render_gt_image(H, W, K, c2ws[k], near=near, far=far)
+        render_gt_image(H, W, K, c2ws[k], field=field, near=near, far=far)
         for k in range(n_views)])
     return {"images": jnp.asarray(images), "c2ws": jnp.asarray(c2ws),
             "K": K, "H": H, "W": W, "near": near, "far": far}

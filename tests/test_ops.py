@@ -233,3 +233,30 @@ def test_positional_nerf_mode():
 def test_positional_bad_mode():
     with pytest.raises(ValueError):
         positional.positional_encode(jnp.zeros((1, 3)), 4, mode="nope")
+
+
+def test_humanoid_field_structure():
+    from human_body_reconstruction_tpu.data import synthetic
+
+    # head is dense, empty space is empty
+    rgb, sigma = synthetic.humanoid_field(
+        jnp.asarray([[0.0, 0.0, 0.65],    # head centre
+                     [0.0, 0.0, 0.25],    # torso
+                     [2.0, 2.0, 2.0]]))   # empty
+    s = np.asarray(sigma)
+    assert s[0] > 10 and s[1] > 10 and s[2] < 1e-3
+    c = np.asarray(rgb)
+    # torso is blue-ish, head skin-toned
+    assert c[1, 2] > c[1, 0]
+    assert c[0, 0] > c[0, 2]
+
+
+def test_humanoid_dataset_renders():
+    from human_body_reconstruction_tpu.data import synthetic
+
+    ds = synthetic.make_dataset(n_views=2, H=32, W=32,
+                                field=synthetic.humanoid_field,
+                                elevation=0.15)
+    img = np.asarray(ds["images"][0])
+    assert img.max() > 0.3          # subject visible
+    assert (img < 0.02).mean() > 0.3  # mostly empty background

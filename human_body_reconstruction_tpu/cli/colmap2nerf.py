@@ -11,7 +11,6 @@ Run: python -m human_body_reconstruction_tpu.cli.colmap2nerf \
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def build_parser():

@@ -50,7 +50,6 @@ def main(argv=None):
 
     from human_body_reconstruction_tpu.pipeline import mesh_export
     from human_body_reconstruction_tpu.train import checkpoint as ckpt_lib
-    from human_body_reconstruction_tpu.train import state as state_lib
     from human_body_reconstruction_tpu.train import trainer as trainer_lib
     from human_body_reconstruction_tpu.utils import config as C
 

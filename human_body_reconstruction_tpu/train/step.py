@@ -18,7 +18,6 @@ Replaces the reference's host-side step loop (train_hash2.py:193-306):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -134,12 +134,15 @@ def load_dataset(args):
     from human_body_reconstruction_tpu.data import datasets, synthetic
 
     if args.synthetic or args.data_path == "synthetic":
-        field = (synthetic.humanoid_field
-                 if args.synthetic_subject == "human"
-                 else synthetic.blob_field)
+        if args.synthetic_subject == "human":
+            # closer orbit + longer focal so the 1.6-unit figure fills
+            # the frame
+            return synthetic.make_dataset(
+                n_views=12, H=96, W=96, focal=110.0, near=args.near,
+                far=args.far, field=synthetic.humanoid_field,
+                radius=3.0, elevation=0.1), None
         return synthetic.make_dataset(n_views=12, H=96, W=96,
-                                      near=args.near, far=args.far,
-                                      field=field, elevation=0.15), None
+                                      near=args.near, far=args.far), None
     data_path = args.data_path or "data/lego/"
     json_path = os.path.join(data_path, "transforms_train.json")
     if not os.path.exists(json_path):

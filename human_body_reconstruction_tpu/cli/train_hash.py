@@ -90,6 +90,10 @@ def build_parser():
     p.add_argument("--compact", type=int, default=0,
                    help="with --occupancy: keep only this many occupied "
                         "samples per ray (static compaction)")
+    p.add_argument("--normalization", type=str, default="diagonal",
+                   choices=["diagonal", "unit_box"],
+                   help="scene->hash normalisation: reference 'diagonal' "
+                        "or per-axis 'unit_box' (full table utilisation)")
     p.add_argument("--rgb_elu", action="store_true",
                    help="reference-parity ELU colour activation")
     p.add_argument("--white_bg", action="store_true")
@@ -120,7 +124,8 @@ def make_config(args):
             near=args.near, far=args.far, num_samples=args.num_samples,
             hierarchical=args.hierarchical, use_sdf=args.use_sdf,
             white_background=args.white_bg, occupancy=args.occupancy,
-            compact_samples=args.compact),
+            compact_samples=args.compact,
+            normalization=args.normalization),
         train=C.TrainConfig(
             num_epochs=args.num_epochs, ray_batch=args.num_batch,
             update_rate=args.update_rate, seed=args.seed),

@@ -52,12 +52,16 @@ def init_params(key, cfg: PipelineConfig):
 
 
 def scene_from_dataset(ds, cfg: PipelineConfig):
-    """Bounds -> (scene dict) with mu = min bound and sigma = diagonal
-    norm (reference train_hash2.py:114-119)."""
+    """Bounds -> (scene dict).  "diagonal": mu = min bound, sigma =
+    diagonal norm (reference train_hash2.py:114-119); "unit_box":
+    per-axis scale for full hash-range utilisation."""
     lo, hi = rays_lib.scene_bounds(ds["H"], ds["W"], ds["K"], ds["c2ws"],
                                    cfg.render.near, cfg.render.far)
-    return {"mu": lo, "sigma": jnp.sqrt(jnp.sum((hi - lo) ** 2)),
-            "min_bound": lo, "max_bound": hi}
+    if cfg.render.normalization == "unit_box":
+        sigma = jnp.maximum(hi - lo, 1e-6)
+    else:
+        sigma = jnp.sqrt(jnp.sum((hi - lo) ** 2))
+    return {"mu": lo, "sigma": sigma, "min_bound": lo, "max_bound": hi}
 
 
 @dataclasses.dataclass

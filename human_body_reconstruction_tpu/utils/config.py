@@ -136,6 +136,11 @@ class RenderConfig:
     sigma_clip_min: float = -10.0  # reference helper.py:76
     use_sdf: bool = False
     white_background: bool = False
+    # Scene normalisation feeding the hash encoder:
+    #   "diagonal": mu = min bound, sigma = ||max-min||_2 (reference
+    #     train_hash2.py:117-119 — uses only ~58% of each level's range),
+    #   "unit_box": per-axis (x - lo)/(hi - lo) — full table utilisation.
+    normalization: str = "diagonal"
     occupancy: bool = False        # occupancy-grid culling
     occupancy_resolution: int = 256  # max_dim//4 (ref vol_renderer.py:106)
     # With occupancy on, keep only the first `compact_samples` occupied

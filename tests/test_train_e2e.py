@@ -125,3 +125,22 @@ def test_sdf_mode_runs_and_has_eikonal(dataset):
     assert "eikonal" in m and np.isfinite(float(m["eikonal"]))
     # var sharpness got optimizer updates
     assert float(state.params["var"]["b"]) != 0.5
+
+
+def test_unit_box_normalization_trains(dataset):
+    cfg = small_cfg()
+    cfg = cfg_lib.PipelineConfig(
+        hash=cfg.hash, dir_enc=cfg.dir_enc, mlp=cfg.mlp,
+        render=cfg_lib.RenderConfig(near=2.0, far=6.0, num_samples=32,
+                                    normalization="unit_box"),
+        train=cfg.train)
+    from human_body_reconstruction_tpu.train import trainer as trainer_lib
+    scene = trainer_lib.scene_from_dataset(dataset, cfg)
+    assert scene["sigma"].shape == (3,)
+    params = build(cfg)
+    state, tx = state_lib.create_train_state(params, cfg.train, 150)
+    for _ in range(150):
+        state, m = step_lib.train_step(
+            state, scene, dataset["images"], dataset["c2ws"], dataset["K"],
+            jax.random.PRNGKey(0), cfg, tx, 1024)
+    assert float(m["psnr"]) > 20.0, float(m["psnr"])

@@ -37,6 +37,9 @@ def build_parser():
     p.add_argument("--cache", type=str, default="density_grid_w_rgb.npy",
                    help="density grid cache path ('' disables)")
     p.add_argument("--ckpt_dir", type=str, default="results")
+    p.add_argument("--normalization", type=str, default="diagonal",
+                   choices=["diagonal", "unit_box"],
+                   help="must match the trainer's --normalization")
     p.add_argument("--chunk", type=int, default=262144)
     return p
 
@@ -67,9 +70,13 @@ def main(argv=None):
     if not os.path.exists(bound_path):
         bound_path = os.path.join(args.ckpt_dir, os.path.basename(bound_path))
     lo, hi = ckpt_lib.load_bounds(bound_path)
-    scene = {"mu": jnp.asarray(lo),
-             "sigma": jnp.sqrt(jnp.sum((jnp.asarray(hi) - lo) ** 2)),
-             "min_bound": jnp.asarray(lo), "max_bound": jnp.asarray(hi)}
+    lo_j, hi_j = jnp.asarray(lo), jnp.asarray(hi)
+    if args.normalization == "unit_box":
+        sigma = jnp.maximum(hi_j - lo_j, 1e-6)
+    else:
+        sigma = jnp.sqrt(jnp.sum((hi_j - lo_j) ** 2))
+    scene = {"mu": lo_j, "sigma": sigma,
+             "min_bound": lo_j, "max_bound": hi_j}
 
     params = trainer_lib.init_params(jax.random.PRNGKey(0), cfg)
     # Accept either the trainer's "{model_name}_ckpt.npz" or the

@@ -41,6 +41,8 @@ def build_parser():
     p.add_argument("--stochastic", action="store_true")
     p.add_argument("--packed", action="store_true")
     p.add_argument("--occupancy", action="store_true")
+    p.add_argument("--normalization", type=str, default="diagonal",
+                   choices=["diagonal", "unit_box"])
     p.add_argument("--iso", type=float, default=30.0)
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--skip_poses", action="store_true")
@@ -114,7 +116,7 @@ def main(argv=None):
                       "--num_samples", str(args.num_samples),
                       "--near", str(args.near), "--far", str(args.far),
                       "--out_dir", results, "--model_name", "recon",
-                      "--write"]
+                      "--normalization", args.normalization, "--write"]
         for flag, on in (("--stochastic", args.stochastic),
                          ("--packed", args.packed),
                          ("--occupancy", args.occupancy)):
@@ -132,6 +134,7 @@ def main(argv=None):
             "--bound_pth", os.path.join(results, "bounds_model.npy"),
             "--near", str(args.near), "--far", str(args.far),
             "--iso", str(args.iso), "--resolution", str(args.resolution),
+            "--normalization", args.normalization,
             "--cache", os.path.join(args.workdir, "density_grid_w_rgb.npy"),
             "--out", mesh_out])
         print(f"[mesh] {mesh_out}")

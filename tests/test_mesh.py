@@ -144,3 +144,24 @@ def test_mesh_export_pipeline_from_trained_model(tmp_path):
         state.params, scene, cfg, resolution=48, iso=1.0, chunk=32768,
         cache_path=cache, out_path=out, verbose=False)
     assert stats2["num_faces"] == stats["num_faces"]
+
+
+def test_nerf2mesh_cli_normalization_roundtrip(tmp_path):
+    """Mesh export must honour the trainer's normalization mode — a
+    mismatch silently evaluates the field at wrong coordinates."""
+    from human_body_reconstruction_tpu.cli import nerf2mesh, train_hash
+
+    out = str(tmp_path / "run")
+    train_hash.main([
+        "--synthetic", "--steps", "150", "--num_batch", "1024",
+        "--num_samples", "16", "--hash_size", "12", "--max_res", "128",
+        "--normalization", "unit_box",
+        "--out_dir", out, "--log_every", "0", "--model_name", "nb"])
+    mesh_out = str(tmp_path / "m.ply")
+    nerf2mesh.main([
+        "--ckpt_dir", out, "--model_name", "nb",
+        "--bound_pth", os.path.join(out, "bounds_model.npy"),
+        "--resolution", "40", "--iso", "1.0", "--cache", "",
+        "--hash_size", "12", "--max_res", "128",
+        "--normalization", "unit_box", "--out", mesh_out])
+    assert os.path.getsize(mesh_out) > 500

@@ -207,3 +207,34 @@ def test_onecycle_schedule_option():
     sched = state_lib._make_schedule(cfg, 0.05, 100)
     assert float(sched(0)) < float(sched(30))
     assert float(sched(99)) < float(sched(30))
+
+
+def test_dataset_downscale_and_max_frames(tmp_path):
+    p, H, W = _write_fake_blender(tmp_path, n=3, H=16, W=20)
+    ds = datasets.load_nerf_json(p, downscale=2, max_frames=2)
+    assert ds["images"].shape == (2, 8, 10, 3)
+    # intrinsics follow the blender branch recomputed at new size
+    focal = 10 / (2 * np.tan(0.6911 / 2))
+    np.testing.assert_allclose(ds["K"][0, 0], focal, rtol=1e-5)
+
+
+def test_debug_check_toggles():
+    import jax
+
+    from human_body_reconstruction_tpu.utils import observability as obs
+
+    obs.enable_debug_checks(nans=True)
+    assert jax.config.jax_debug_nans
+    obs.enable_debug_checks(nans=False)
+    assert not jax.config.jax_debug_nans
+
+
+def test_profile_trace_writes(tmp_path):
+    import jax.numpy as jnp
+
+    from human_body_reconstruction_tpu.utils import observability as obs
+
+    d = str(tmp_path / "trace")
+    with obs.profile_trace(d):
+        jnp.ones(16).sum().block_until_ready()
+    assert os.path.exists(d) and len(os.listdir(d)) > 0

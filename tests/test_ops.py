@@ -260,3 +260,23 @@ def test_humanoid_dataset_renders():
     img = np.asarray(ds["images"][0])
     assert img.max() > 0.3          # subject visible
     assert (img < 0.02).mean() > 0.3  # mostly empty background
+
+
+def test_sample_pdf_deterministic():
+    bins = jnp.linspace(0.0, 1.0, 17)[None, :]
+    w = jnp.ones((1, 16))
+    t1 = sampling.sample_pdf(None, bins, w, 32, deterministic=True)
+    t2 = sampling.sample_pdf(None, bins, w, 32, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    tn = np.asarray(t1[0])
+    assert np.all(np.diff(tn) >= 0) and tn[0] >= 0 and tn[-1] <= 1
+
+
+def test_stratified_log_sampling():
+    key = jax.random.PRNGKey(5)
+    t = sampling.stratified_ts(key, (4,), 2.0, 6.0, 16, log_sampling=True)
+    tn = np.asarray(t)
+    assert tn.min() >= 2.0 - 1e-5
+    # log-spaced: early gaps smaller than late gaps on average
+    gaps = np.diff(np.sort(tn, axis=-1), axis=-1)
+    assert gaps[:, :4].mean() < gaps[:, -4:].mean()

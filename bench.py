@@ -38,7 +38,7 @@ def main():
     # interpolant.
     cfg = C.PipelineConfig(
         hash=C.HashConfig(stochastic_train=True, packed=True,
-                          grad_subsample=True),
+                          grad_subsample=True, hw_rng=True),
         render=C.RenderConfig(num_samples=num_samples, occupancy=True,
                               occupancy_resolution=128,
                               compact_samples=compact),

@@ -87,6 +87,8 @@ def build_parser():
     p.add_argument("--grad_subsample", action="store_true",
                    help="with --packed: unbiased single-feature gradient "
                         "scatter (halves backward scatter volume)")
+    p.add_argument("--hw_rng", action="store_true",
+                   help="TPU hardware PRNG for stochastic sampling")
     p.add_argument("--compact", type=int, default=0,
                    help="with --occupancy: keep only this many occupied "
                         "samples per ray (static compaction)")
@@ -116,7 +118,8 @@ def make_config(args):
                           variant=args.encoder_variant,
                           stochastic_train=args.stochastic,
                           packed=args.packed,
-                          grad_subsample=args.grad_subsample),
+                          grad_subsample=args.grad_subsample,
+                          hw_rng=args.hw_rng),
         mlp=C.MLPConfig(
             density_activation="sdf" if args.use_sdf else "leaky_relu",
             rgb_activation="elu" if args.rgb_elu else "sigmoid"),

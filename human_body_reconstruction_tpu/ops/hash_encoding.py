@@ -153,7 +153,7 @@ def hash_encode_stochastic(table, x, mu, sigma, cfg: HashConfig, key):
     dim = cfg.dim
     N = x.shape[0]
     x0, frac = _level_coords(x, mu, sigma, cfg)
-    u = jax.random.uniform(key, (dim, L, N))
+    u = _stoch_uniform(key, (dim, L, N), cfg)
     bits = (u < frac).astype(jnp.int32)                          # (dim, L, N)
     coord = (x0 + bits).astype(jnp.uint32)
     idx = _hash_levels(coord, cfg)
@@ -251,9 +251,21 @@ def hash_encode_stochastic_packed(table, x, mu, sigma, cfg: HashConfig, key):
     return out
 
 
+def _stoch_uniform(key, shape, cfg: HashConfig):
+    """Bernoulli-driver uniforms: threefry by default, or the Pallas
+    hardware-PRNG kernel (ops/pallas_rng.py) when cfg.hw_rng is set and
+    a TPU backend is active (~10x cheaper at training volumes)."""
+    if cfg.hw_rng and jax.default_backend() not in ("cpu", "gpu"):
+        from human_body_reconstruction_tpu.ops import pallas_rng
+
+        seed = jax.random.randint(key, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
+        return pallas_rng.uniform(seed, shape)
+    return jax.random.uniform(key, shape)
+
+
 def _stoch_packed_indices(x, mu, sigma, cfg: HashConfig, key):
     x0, frac = _level_coords(x, mu, sigma, cfg)
-    u = jax.random.uniform(key, frac.shape)
+    u = _stoch_uniform(key, frac.shape, cfg)
     bits = (u < frac).astype(jnp.int32)
     coord = (x0 + bits).astype(jnp.uint32)
     idx = _hash_levels(coord, cfg)                               # (L, N)

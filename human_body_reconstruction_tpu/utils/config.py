@@ -51,6 +51,9 @@ class HashConfig:
     # per (point, level) instead of both — unbiased, halves the backward
     # scatter volume.
     grad_subsample: bool = False
+    # Stochastic-corner uniforms from the TPU hardware PRNG (a Pallas
+    # kernel) instead of threefry; ignored off-TPU.
+    hw_rng: bool = False
 
     @property
     def table_size(self) -> int:

@@ -165,3 +165,25 @@ def test_nerf2mesh_cli_normalization_roundtrip(tmp_path):
         "--hash_size", "12", "--max_res", "128",
         "--normalization", "unit_box", "--out", mesh_out])
     assert os.path.getsize(mesh_out) > 500
+
+
+def test_sdf_mesh_export(tmp_path):
+    """SDF-mode checkpoints export a zero-level-set mesh (iso 0)."""
+    import jax
+
+    from human_body_reconstruction_tpu.cli import nerf2mesh, train_hash
+
+    out = str(tmp_path / "run")
+    train_hash.main([
+        "--synthetic", "--steps", "120", "--num_batch", "512",
+        "--num_samples", "16", "--hash_size", "12", "--max_res", "128",
+        "--use_sdf", "--out_dir", out, "--log_every", "0",
+        "--model_name", "sdf"])
+    mesh_out = str(tmp_path / "sdf.ply")
+    nerf2mesh.main([
+        "--ckpt_dir", out, "--model_name", "sdf",
+        "--bound_pth", os.path.join(out, "bounds_model.npy"),
+        "--resolution", "32", "--iso", "0.0", "--cache", "",
+        "--hash_size", "12", "--max_res", "128", "--use_sdf",
+        "--out", mesh_out])
+    assert os.path.exists(mesh_out)

@@ -144,3 +144,20 @@ def test_unit_box_normalization_trains(dataset):
             state, scene, dataset["images"], dataset["c2ws"], dataset["K"],
             jax.random.PRNGKey(0), cfg, tx, 1024)
     assert float(m["psnr"]) > 20.0, float(m["psnr"])
+
+
+def test_training_is_deterministic(dataset):
+    """Same seed -> bit-identical parameters after N steps."""
+    cfg = small_cfg()
+
+    def run():
+        params = build(cfg)
+        scene = make_scene(dataset)
+        state, tx = state_lib.create_train_state(params, cfg.train, 20)
+        for _ in range(20):
+            state, _ = step_lib.train_step(
+                state, scene, dataset["images"], dataset["c2ws"],
+                dataset["K"], jax.random.PRNGKey(9), cfg, tx, 512)
+        return np.asarray(state.params["table"])
+
+    np.testing.assert_array_equal(run(), run())

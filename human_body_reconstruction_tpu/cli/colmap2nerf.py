@@ -11,6 +11,7 @@ Run: python -m human_body_reconstruction_tpu.cli.colmap2nerf \
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def build_parser():
@@ -68,7 +69,8 @@ def main(argv=None):
         text, args.images, aabb_scale=int(args.aabb_scale),
         skip_early=args.skip_early,
         keep_colmap_coords=args.keep_colmap_coords,
-        compute_sharpness=not args.no_sharpness)
+        compute_sharpness=not args.no_sharpness,
+        json_dir=os.path.dirname(args.out) or ".")
     if args.mask_categories:
         print("note: --mask_categories is handled by the segment CLI "
               "(python -m human_body_reconstruction_tpu.cli.segment)")

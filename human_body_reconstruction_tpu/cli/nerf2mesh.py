@@ -4,7 +4,11 @@ Reference flags accepted verbatim: --use_sdf --hierarchical --max_res
 --hash_size --model_name --bound_pth --ckpt_name --near --far.
 Extensions: --iso (reference hard-codes 30.0, nerf2mesh.py:98),
 --resolution (reference hard-codes 256, :27), --out (the reference never
-writes a file), --color_mode {rgb,xyz}, --cache, --view, --ckpt_dir.
+writes a file), --color_mode {rgb,xyz}, --cache, --ckpt_dir,
+--encoder_variant/--rgb_elu (must match training; auto-restored from the
+trainer's <model_name>_config.json when present), --view (open the mesh
+in an open3d window like the reference's display-only viewer,
+nerf2mesh.py:102-107; requires open3d + a display).
 
 Run:  python -m human_body_reconstruction_tpu.cli.nerf2mesh \
           --ckpt_dir results --model_name default --out mesh.ply
@@ -13,6 +17,7 @@ Run:  python -m human_body_reconstruction_tpu.cli.nerf2mesh \
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 
 
@@ -41,6 +46,15 @@ def build_parser():
                    choices=["diagonal", "unit_box"],
                    help="must match the trainer's --normalization")
     p.add_argument("--chunk", type=int, default=262144)
+    p.add_argument("--encoder_variant", type=str, default=None,
+                   choices=["corner", "cell"],
+                   help="hash layout used at training time (auto-restored "
+                        "from <model_name>_config.json when present)")
+    p.add_argument("--rgb_elu", action="store_true",
+                   help="checkpoint was trained with --rgb_elu")
+    p.add_argument("--view", action="store_true",
+                   help="open the mesh in an open3d viewer (reference "
+                        "nerf2mesh.py:102-107); needs open3d + a display")
     return p
 
 
@@ -56,15 +70,35 @@ def main(argv=None):
     from human_body_reconstruction_tpu.train import trainer as trainer_lib
     from human_body_reconstruction_tpu.utils import config as C
 
-    cfg = C.PipelineConfig(
-        hash=C.HashConfig(n_max=int(args.max_res),
-                          log2_table_size=int(args.hash_size)),
-        mlp=C.MLPConfig(
-            density_activation="sdf" if args.use_sdf else "leaky_relu"),
-        render=C.RenderConfig(near=args.near, far=args.far,
-                              use_sdf=args.use_sdf,
-                              hierarchical=args.hierarchical),
-    )
+    # Prefer the persisted training config (written by Trainer.save next
+    # to the checkpoint): it pins encoder variant / activations / table
+    # geometry exactly, so exports can't silently mismatch the weights.
+    cfg_json = os.path.join(args.ckpt_dir, f"{args.model_name}_config.json")
+    if os.path.exists(cfg_json):
+        saved = C.from_json(cfg_json)
+        cfg = C.PipelineConfig(
+            hash=saved.hash, dir_enc=saved.dir_enc, mlp=saved.mlp,
+            render=dataclasses.replace(
+                saved.render, near=args.near, far=args.far,
+                hierarchical=args.hierarchical),
+            train=saved.train)
+        print(f"restored model config from {cfg_json}")
+    else:
+        cfg = C.PipelineConfig(
+            hash=C.HashConfig(n_max=int(args.max_res),
+                              log2_table_size=int(args.hash_size),
+                              variant=args.encoder_variant or "corner"),
+            mlp=C.MLPConfig(
+                density_activation="sdf" if args.use_sdf else "leaky_relu",
+                rgb_activation="elu" if args.rgb_elu else "sigmoid"),
+            render=C.RenderConfig(near=args.near, far=args.far,
+                                  use_sdf=args.use_sdf,
+                                  hierarchical=args.hierarchical),
+        )
+    if args.encoder_variant and args.encoder_variant != cfg.hash.variant:
+        cfg = dataclasses.replace(
+            cfg, hash=dataclasses.replace(cfg.hash,
+                                          variant=args.encoder_variant))
 
     bound_path = args.bound_pth
     if not os.path.exists(bound_path):
@@ -98,6 +132,13 @@ def main(argv=None):
         color_mode=args.color_mode)
     print(f"wrote {stats['out_path']}: {stats['num_verts']} verts, "
           f"{stats['num_faces']} faces")
+    if args.view:
+        try:
+            mesh_export.view_mesh(stats["verts"], stats["faces"],
+                                  stats["colors"])
+        except ImportError:
+            print("--view requested but open3d is not installed; "
+                  f"open {stats['out_path']} in any mesh viewer instead")
 
 
 def _load_params(ckpt_path, params_template):
@@ -120,7 +161,12 @@ def _load_params(ckpt_path, params_template):
     for got, want in zip(new, leaves):
         if tuple(got.shape) != tuple(np.shape(want)):
             raise ValueError(
-                f"checkpoint incompatible: {got.shape} vs {np.shape(want)}")
+                f"checkpoint leaf shape {got.shape} does not match the "
+                f"rebuilt model's {np.shape(want)} — the export config "
+                "(encoder variant / table size / activations) differs from "
+                "training. Pass --encoder_variant/--rgb_elu/--hash_size to "
+                "match, or export from a run directory containing "
+                "<model_name>_config.json (written by the trainer).")
     return jax.tree_util.tree_unflatten(treedef, new), {}
 
 

@@ -68,7 +68,8 @@ def main(argv=None):
         text = capture.run_colmap(
             images_dir, db=os.path.join(args.workdir, "colmap.db"),
             matcher=args.colmap_matcher)
-        out = capture.build_transforms(text, images_dir)
+        out = capture.build_transforms(text, images_dir,
+                                       json_dir=args.workdir)
         capture.write_transforms(out, transforms)
         print(f"[poses] {len(out['frames'])} registered -> {transforms}")
 

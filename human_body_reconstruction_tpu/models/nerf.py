@@ -161,8 +161,16 @@ def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
 
     if hier:
         n_fine = cfg.render.num_fine_samples or S
-        t_fine = sampling.hierarchical_ts(
-            k_fine, t_eff, jax.lax.stop_gradient(weights), n_fine)
+        t_h, w_h = t_eff, jax.lax.stop_gradient(weights)
+        if occ is not None and jitter and 0 < cfg.render.compact_samples:
+            # compaction emits occupied-first order; rays with fewer
+            # occupied samples than the budget get an unoccupied tail
+            # that restarts at earlier depths — re-sort so sample_pdf's
+            # sorted-bins assumption holds (weights permuted to match)
+            order = jnp.argsort(t_h, axis=-1)
+            t_h = jnp.take_along_axis(t_h, order, axis=-1)
+            w_h = jnp.take_along_axis(w_h, order, axis=-1)
+        t_fine = sampling.hierarchical_ts(k_fine, t_h, w_h, n_fine)
         fine, fweights, fdensity, fpts, _ = _render_pass(
             params, scene, rays_o, rays_d, dir_norm, t_fine, cfg, occ,
             compute_dtype,

@@ -22,9 +22,10 @@ Levels: N_l = n_min * b**l, b = exp((ln n_max - ln n_min)/(L-1))
 (reference hash_encoding.py:13, 153).  Inputs are normalised as
 (x - mu) / sigma before scaling by N_l (reference hash_encoding.py:154).
 
-A fused Pallas TPU kernel with identical semantics lives in
-``ops/hash_pallas.py``; this module is the reference implementation it is
-tested against.
+A fused Pallas gather kernel for the *hashed* levels is parked on
+measured Mosaic limitations (no usable sublane gather/scatter at this
+toolchain — docs/PERF_NOTES.md); the coarse levels can instead bypass
+hashing entirely via the dense-grid path in ``ops/dense_grid.py``.
 """
 
 from __future__ import annotations

@@ -13,6 +13,7 @@ Replaces the reference's torchmcubes CUDA dependency
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import Optional, Tuple
@@ -22,13 +23,21 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                            "native")
 _SRC = os.path.join(_NATIVE_DIR, "marching.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "libmarching.so")
 
 _lib = None
 
 
-def _build_library():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, "-lpthread"]
+def _lib_path():
+    """Shared-object path keyed on a source hash: rebuilt exactly when
+    the source changes (mtimes are unreliable after a fresh checkout)."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_NATIVE_DIR, f"libmarching-{digest}.so")
+
+
+def _build_library(lib_path):
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, _SRC,
+           "-lpthread"]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -36,10 +45,10 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if (not os.path.exists(_LIB)
-            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-        _build_library()
-    lib = ctypes.CDLL(_LIB)
+    lib_path = _lib_path()
+    if not os.path.exists(lib_path):
+        _build_library(lib_path)
+    lib = ctypes.CDLL(lib_path)
     lib.mc_extract.restype = ctypes.c_int64
     lib.mc_extract.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,

@@ -188,8 +188,15 @@ def image_sharpness(path: str) -> float:
 def build_transforms(text_dir: str, images_dir: str, *,
                      aabb_scale: int = 32, skip_early: int = 0,
                      keep_colmap_coords: bool = False,
-                     compute_sharpness: bool = True) -> dict:
-    """COLMAP TXT model -> instant-ngp-style transforms dict."""
+                     compute_sharpness: bool = True,
+                     json_dir: Optional[str] = None) -> dict:
+    """COLMAP TXT model -> instant-ngp-style transforms dict.
+
+    ``json_dir`` is the directory the transforms.json will be written
+    in; frame file_path entries are made relative to it (the dataset
+    reader resolves them against the json's own directory). Defaults to
+    the CWD for backward compatibility.
+    """
     intr = parse_cameras_txt(os.path.join(text_dir, "cameras.txt"))
     entries = parse_images_txt(os.path.join(text_dir, "images.txt"),
                                skip_early)
@@ -211,11 +218,11 @@ def build_transforms(text_dir: str, images_dir: str, *,
     out = dict(intr)
     out["aabb_scale"] = aabb_scale
     out["frames"] = []
-    rel = os.path.relpath(images_dir)
+    rel = os.path.relpath(images_dir, json_dir or ".").replace(os.sep, "/")
     for k, name in enumerate(names):
-        p = f"./{rel}/{name}"
-        frame = {"file_path": p,
-                 "sharpness": (image_sharpness(p) if compute_sharpness
+        src = os.path.join(images_dir, name)
+        frame = {"file_path": f"./{rel}/{name}",
+                 "sharpness": (image_sharpness(src) if compute_sharpness
                                else 0.0),
                  "transform_matrix": c2ws[k].tolist()}
         out["frames"].append(frame)

@@ -112,10 +112,28 @@ def export_mesh(params, scene, cfg: PipelineConfig, *,
 
     stats = {"num_verts": int(len(verts)), "num_faces": int(len(faces)),
              "sweep_seconds": t_sweep, "marching_seconds": t_mc,
-             "out_path": out_path}
+             "out_path": out_path, "verts": world_verts, "faces": faces,
+             "colors": colors}
     if verbose:
         print(f"density sweep {resolution}^3: {t_sweep:.2f}s; "
               f"marching tets: {t_mc:.2f}s; "
               f"{stats['num_verts']} verts / {stats['num_faces']} faces "
               f"-> {out_path}")
     return stats
+
+
+def view_mesh(verts, faces, colors=None):
+    """Open an interactive open3d window with the mesh and its wireframe
+    (reference nerf2mesh.py:102-107). Gated on open3d being importable
+    and a display being available; raises ImportError otherwise."""
+    import open3d as o3d  # optional dependency
+
+    mesh = o3d.geometry.TriangleMesh(
+        o3d.utility.Vector3dVector(np.asarray(verts, np.float64)),
+        o3d.utility.Vector3iVector(np.asarray(faces, np.int32)))
+    if colors is not None and len(colors) == len(verts):
+        mesh.vertex_colors = o3d.utility.Vector3dVector(
+            np.asarray(colors, np.float64))
+    mesh.compute_vertex_normals()
+    wire = o3d.geometry.LineSet.create_from_triangle_mesh(mesh)
+    o3d.visualization.draw_geometries([mesh, wire])

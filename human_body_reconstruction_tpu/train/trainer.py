@@ -124,23 +124,29 @@ class Trainer:
 
     def save(self):
         ckpt_lib.save_train_state(self.ckpt_path(), self.state)
+        from human_body_reconstruction_tpu.utils import config as C
+
+        C.to_json(self.cfg, os.path.join(
+            self.out_dir, f"{self.model_name}_config.json"))
 
     def load(self, path: Optional[str] = None):
         self.state = ckpt_lib.load_train_state(path or self.ckpt_path(),
                                                self.state)
 
     # -- occupancy --------------------------------------------------------
-    def update_occupancy(self):
+    def update_occupancy(self, step_no: Optional[int] = None):
         if self.state.occ is None:
             return
         cfg = self.cfg
+        if step_no is None:
+            step_no = int(self.state.step)
 
         def density_fn(pts):
             return nerf.density_only(self.state.params, self.scene, pts, cfg)
 
         occ = occupancy.update(
             self.state.occ, density_fn,
-            jax.random.fold_in(self.key, 10_000 + int(self.state.step)),
+            jax.random.fold_in(self.key, 10_000 + step_no),
             self.scene["mu"], self.scene["sigma"])
         self.state = self.state._replace(occ=occ)
 
@@ -151,6 +157,9 @@ class Trainer:
         cfg = self.cfg
         t_last = time.perf_counter()
         rays_done = 0
+        # host-side step counter: int(self.state.step) per iteration is a
+        # device->host sync that serializes the step pipeline
+        start_step = int(self.state.step)
         for i in range(steps):
             if self._dp_step is not None:
                 self.state, metrics = self._dp_step(
@@ -163,9 +172,9 @@ class Trainer:
                     cfg.train.ray_batch)
             rays_done += cfg.train.ray_batch
 
-            step_no = int(self.state.step)
+            step_no = start_step + i + 1
             if cfg.render.occupancy and step_no % cfg.train.update_rate == 0:
-                self.update_occupancy()
+                self.update_occupancy(step_no)
 
             if log_every and (i + 1) % log_every == 0:
                 jax.block_until_ready(metrics["loss"])

@@ -185,3 +185,34 @@ class PipelineConfig:
     mlp: MLPConfig = dataclasses.field(default_factory=MLPConfig)
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+def to_json(cfg: PipelineConfig, path: str):
+    """Persist a config next to its checkpoint so downstream tools
+    (mesh export) rebuild the exact same model without re-specifying
+    encoder/MLP flags."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+
+def from_json(path: str) -> PipelineConfig:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    sections = {"hash": HashConfig, "dir_enc": PosEncConfig,
+                "mlp": MLPConfig, "render": RenderConfig,
+                "train": TrainConfig}
+    kwargs = {}
+    for name, cls in sections.items():
+        sec = d.get(name, {})
+        fields = {f.name for f in dataclasses.fields(cls)}
+        known = {k: v for k, v in sec.items() if k in fields}
+        tup = {f.name for f in dataclasses.fields(cls)
+               if "Tuple" in str(f.type) or "tuple" in str(f.type)}
+        for k in tup & known.keys():
+            known[k] = tuple(known[k])
+        kwargs[name] = cls(**known)
+    return PipelineConfig(**kwargs)

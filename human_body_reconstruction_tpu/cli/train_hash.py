@@ -27,6 +27,7 @@ Run:  python -m human_body_reconstruction_tpu.cli.train_hash --synthetic \
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 
 
@@ -82,6 +83,21 @@ def build_parser():
     p.add_argument("--packed", action="store_true",
                    help="with --stochastic: packed bf16-pair gathers "
                         "(one lookup per point-level)")
+    p.add_argument("--pack_format", type=str, default="bf16",
+                   choices=["bf16", "int8"],
+                   help="with --packed: bf16 pairs (F=2) or dynamically "
+                        "quantised int8 (up to 4 features per lookup)")
+    p.add_argument("--num_levels", type=int, default=16,
+                   help="hash-grid levels L (reference hard-codes 16, "
+                        "train_hash2.py:46)")
+    p.add_argument("--features_per_level", type=int, default=2,
+                   help="features per level F (reference hard-codes 2); "
+                        "L=8/F=4 --packed --pack_format int8 halves "
+                        "lookups twice at the same 32-dim output")
+    p.add_argument("--dense_levels", type=int, default=0,
+                   help="store the first D coarse levels as DENSE grids "
+                        "evaluated by MXU matmuls (collision-free, no "
+                        "gather/scatter); -1 picks D automatically")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the ray batch over all visible devices")
     p.add_argument("--grad_subsample", action="store_true",
@@ -92,6 +108,10 @@ def build_parser():
     p.add_argument("--compact", type=int, default=0,
                    help="with --occupancy: keep only this many occupied "
                         "samples per ray (static compaction)")
+    p.add_argument("--occ_guided", action="store_true",
+                   help="with --occupancy: inverse-CDF sample placement "
+                        "over occupied intervals instead of top-K "
+                        "truncation (budget = --compact or --num_samples)")
     p.add_argument("--normalization", type=str, default="diagonal",
                    choices=["diagonal", "unit_box"],
                    help="scene->hash normalisation: reference 'diagonal' "
@@ -112,14 +132,24 @@ def build_parser():
 def make_config(args):
     from human_body_reconstruction_tpu.utils import config as C
 
+    hcfg = C.HashConfig(n_max=int(args.max_res),
+                        log2_table_size=int(args.hash_size),
+                        num_levels=args.num_levels,
+                        features_per_level=args.features_per_level,
+                        variant=args.encoder_variant,
+                        stochastic_train=args.stochastic,
+                        packed=args.packed,
+                        pack_format=args.pack_format,
+                        grad_subsample=args.grad_subsample,
+                        hw_rng=args.hw_rng,
+                        dense_levels=max(args.dense_levels, 0))
+    if args.dense_levels < 0:
+        from human_body_reconstruction_tpu.ops import dense_grid
+
+        hcfg = dataclasses.replace(hcfg,
+                                   dense_levels=dense_grid.auto_dense_levels(hcfg))
     return C.PipelineConfig(
-        hash=C.HashConfig(n_max=int(args.max_res),
-                          log2_table_size=int(args.hash_size),
-                          variant=args.encoder_variant,
-                          stochastic_train=args.stochastic,
-                          packed=args.packed,
-                          grad_subsample=args.grad_subsample,
-                          hw_rng=args.hw_rng),
+        hash=hcfg,
         mlp=C.MLPConfig(
             density_activation="sdf" if args.use_sdf else "leaky_relu",
             rgb_activation="elu" if args.rgb_elu else "sigmoid"),
@@ -127,7 +157,7 @@ def make_config(args):
             near=args.near, far=args.far, num_samples=args.num_samples,
             hierarchical=args.hierarchical, use_sdf=args.use_sdf,
             white_background=args.white_bg, occupancy=args.occupancy,
-            compact_samples=args.compact,
+            compact_samples=args.compact, occ_guided=args.occ_guided,
             normalization=args.normalization),
         train=C.TrainConfig(
             num_epochs=args.num_epochs, ray_batch=args.num_batch,

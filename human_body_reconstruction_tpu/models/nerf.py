@@ -34,8 +34,11 @@ def encode_points(params, scene, pts, cfg: PipelineConfig, encode_key=None):
     when ``cfg.hash.stochastic_train`` is set (training only).
     """
     stochastic = encode_key is not None and cfg.hash.stochastic_train
-    return he.encode(params["table"], pts, scene["mu"], scene["sigma"],
-                     cfg.hash, key=encode_key, stochastic=stochastic)
+    enc = {"table": params["table"]}
+    if "dense" in params:
+        enc["dense"] = params["dense"]
+    return he.encode_params(enc, pts, scene["mu"], scene["sigma"],
+                            cfg.hash, key=encode_key, stochastic=stochastic)
 
 
 def field_forward(params, scene, pts, dirs_enc, cfg: PipelineConfig,
@@ -72,7 +75,8 @@ def sdf_finite_difference_normals(params, scene, pts, cfg: PipelineConfig,
 
 def _render_pass(params, scene, rays_o, rays_d, dir_norm, t,
                  cfg: PipelineConfig, occ: Optional[occupancy.OccupancyGrid],
-                 compute_dtype, encode_key=None, allow_compact=True):
+                 compute_dtype, encode_key=None, allow_compact=True,
+                 dt_override=None):
     """One encode->MLP->composite pass at the given t samples (B, S).
 
     With occupancy + ``compact_samples`` K > 0, each ray keeps only its
@@ -88,19 +92,21 @@ def _render_pass(params, scene, rays_o, rays_d, dir_norm, t,
 
     K = cfg.render.compact_samples if allow_compact else 0
     mask = None
-    dt = None
+    dt = dt_override
     if occ is not None:
         mask = occupancy.lookup(occ, pts, scene["mu"], scene["sigma"])
-        if 0 < K < S and not cfg.render.use_sdf:
-            # stable occupied-first order: key = (1-m)*S + position
+        if dt_override is None and 0 < K < S and not cfg.render.use_sdf:
+            # stable occupied-first order via top_k (cheaper than a full
+            # argsort of S keys, scripts/tpu_profile_step.py); pts are
+            # recomputed from the gathered t instead of gathering the
+            # (B, S, 3) point tensor
             sort_key = ((1.0 - mask) * S
                         + jnp.arange(S, dtype=jnp.float32)[None, :])
-            order = jnp.argsort(sort_key, axis=-1)[:, :K]           # (B, K)
+            _, order = jax.lax.top_k(-sort_key, K)                  # (B, K)
             t = jnp.take_along_axis(t, order, axis=-1)
             dt = jnp.take_along_axis(dt_full, order, axis=-1)
             mask = jnp.take_along_axis(mask, order, axis=-1)
-            pts = jnp.take_along_axis(
-                pts, order[..., None].repeat(3, axis=-1), axis=1)
+            pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
             S = K
 
     dirs_enc = positional.positional_encode(
@@ -145,17 +151,27 @@ def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
     B = rays_o.shape[0]
     # stochastic encoding only while training (jitter on) and if enabled
     enc_key = (k_enc if (jitter and cfg.hash.stochastic_train) else None)
-    t = sampling.stratified_ts(
-        k_strat, (B,), cfg.render.near, cfg.render.far, S,
-        per_ray_jitter=cfg.render.per_ray_jitter,
-        log_sampling=cfg.render.log_sampling, jitter=jitter)
+    dt_guided = None
+    if cfg.render.occ_guided and occ is not None and jitter:
+        # occupancy-guided inverse-CDF placement: S probe intervals, a
+        # compact_samples (or S) sample budget spread over the occupied
+        # span — no truncation risk, samples only where matter lives
+        K_s = cfg.render.compact_samples or S
+        t, dt_guided = sampling.occupancy_guided_ts(
+            k_strat, rays_o, rays_d, occ, scene["mu"], scene["sigma"],
+            cfg.render.near, cfg.render.far, K_s, num_probe=S)
+    else:
+        t = sampling.stratified_ts(
+            k_strat, (B,), cfg.render.near, cfg.render.far, S,
+            per_ray_jitter=cfg.render.per_ray_jitter,
+            log_sampling=cfg.render.log_sampling, jitter=jitter)
 
     # compaction truncates rays to a fixed occupied-sample budget sized
     # for the training sample count; eval renders (jitter off, often many
     # more samples) use the plain masked path
     coarse, weights, density, pts, t_eff = _render_pass(
         params, scene, rays_o, rays_d, dir_norm, t, cfg, occ, compute_dtype,
-        encode_key=enc_key, allow_compact=jitter)
+        encode_key=enc_key, allow_compact=jitter, dt_override=dt_guided)
 
     out = {"coarse": coarse, "weights": weights, "t": t_eff}
 

@@ -51,13 +51,45 @@ def level_scales(cfg: HashConfig) -> np.ndarray:
 
 
 def init_table(key, cfg: HashConfig, dtype=jnp.float32):
-    """(L, T, payload) table, U(-init_scale, init_scale)
+    """(L_hashed, T, payload) table, U(-init_scale, init_scale)
     (ref hash_encoding.py:32).  payload is F for the reference-exact
     "corner" variant and F * 2**dim for the "cell" variant (all corner
-    features of a cell co-stored in its bucket)."""
+    features of a cell co-stored in its bucket).  With
+    ``cfg.dense_levels`` > 0 the table holds only the hashed levels —
+    the coarse levels live in dense grids (ops/dense_grid.py)."""
     return jax.random.uniform(
-        key, (cfg.num_levels, cfg.table_size, cfg.payload),
+        key, (cfg.num_hashed_levels, cfg.table_size, cfg.payload),
         dtype=dtype, minval=-cfg.init_scale, maxval=cfg.init_scale)
+
+
+def init_encoder(key, cfg: HashConfig, dtype=jnp.float32):
+    """Full encoder param dict: {"table": (L_hashed, T, P)} plus
+    {"dense": tuple of (G, G, G, F)} when ``cfg.dense_levels`` > 0."""
+    from human_body_reconstruction_tpu.ops import dense_grid
+
+    k1, k2 = jax.random.split(key)
+    params = {"table": init_table(k1, cfg, dtype)}
+    if cfg.dense_levels > 0:
+        params["dense"] = dense_grid.init_dense(k2, cfg, dtype)
+    return params
+
+
+def _features_to_out(feats):
+    """F feature planes of shape (L, N) -> (N, L*F) output.
+
+    Deliberately routed as (F,L,N) -> (L,F,N) -> (L*F, N) -> transpose:
+    every intermediate keeps the big N axis minor (lane-friendly); the
+    naive (N, L, F) layout has a minor dim of F that the TPU lane-pads
+    64x (measured: it is what made the encoder backward 3x slower than
+    its scatter, scripts/tpu_profile_step.py)."""
+    stacked = jnp.stack(feats)                    # (F, L, N)
+    F, L, N = stacked.shape
+    return stacked.transpose(1, 0, 2).reshape(L * F, N).T
+
+
+def _cotangent_to_lfn(g, L: int, F: int):
+    """(N, L*F) cotangent -> (L, F, N), avoiding any minor-F layout."""
+    return g.T.reshape(L, F, -1)
 
 
 def _corner_offsets(dim: int) -> np.ndarray:
@@ -86,8 +118,12 @@ def hash_corner_indices(coords_u32, table_size: int):
 
 
 def _level_coords(x, mu, sigma, cfg: HashConfig):
-    """Shared front-end: (dim, L, N) integer cells + fractions."""
-    scales = jnp.asarray(level_scales(cfg), dtype=jnp.float32)   # (L,)
+    """Shared front-end: (dim, L_hashed, N) integer cells + fractions.
+
+    The first ``cfg.dense_levels`` levels are excluded — they are
+    evaluated by the dense-grid path (ops/dense_grid.py)."""
+    scales = jnp.asarray(level_scales(cfg)[cfg.dense_levels:],
+                         dtype=jnp.float32)                      # (L_hashed,)
     xn = ((x.astype(jnp.float32) - mu) / sigma).T                # (dim, N)
     xl = xn[:, None, :] * scales[None, :, None]                  # (dim, L, N)
     x0f = jnp.floor(xl)
@@ -137,7 +173,7 @@ def hash_encode_cell(table, x, mu, sigma, cfg: HashConfig):
         w = w.astype(table.dtype)
         for f in range(F):
             acc[f] = acc[f] + rows[..., c * F + f] * w
-    return jnp.stack(acc).transpose(2, 1, 0).reshape(N, L * F)
+    return _features_to_out(acc)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -162,7 +198,7 @@ def hash_encode_stochastic(table, x, mu, sigma, cfg: HashConfig, key):
     base = ((idx + level_offsets[:, None]) * jnp.uint32(F)).astype(jnp.int32)
     flat = table.reshape(L * T * F)
     acc = [jnp.take(flat, base + f) for f in range(F)]           # F x (L, N)
-    return jnp.stack(acc).transpose(2, 1, 0).reshape(N, L * F)
+    return _features_to_out(acc)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -214,7 +250,7 @@ def hash_encode(table, x, mu, sigma, cfg: HashConfig):
             feats = jnp.take(table_flat, base + f)               # (L, N)
             acc[f] = acc[f] + feats * w
     # (F, L, N) -> (N, L, F) -> (N, L*F)
-    return jnp.stack(acc).transpose(2, 1, 0).reshape(N, L * F)
+    return _features_to_out(acc)
 
 
 def pack_table_bf16(table):
@@ -283,7 +319,7 @@ def _stoch_packed_fwd_impl(table, x, mu, sigma, cfg, key):
     packed = pack_table_bf16(table)
     words = jnp.take(packed, rows)                               # (L, N)
     feats = [_unpack_bf16(words, f) for f in range(F)]           # F x (L, N)
-    out = jnp.stack(feats).transpose(2, 1, 0).reshape(N, L * F)
+    out = _features_to_out(feats)
     return out, rows
 
 
@@ -301,18 +337,18 @@ def _stoch_packed_fwd(table, x, mu, sigma, cfg, key):
 def _stoch_packed_bwd(cfg, res, g):
     rows, pick, tshape = res
     L, T, F = tshape
-    N = g.shape[0]
-    gf = g.reshape(N, L, F).transpose(2, 1, 0)                   # (F, L, N)
+    glfn = _cotangent_to_lfn(g, L, F)                            # (L, F, N)
     if cfg.grad_subsample and F == 2:
         # Unbiased scatter subsampling: per (point, level) route 2x the
         # gradient of ONE randomly chosen feature — halves scatter
         # contributions, the dominant backward cost (PERF_NOTES.md).
         pick_f = pick.astype(jnp.float32)
-        g_sel = 2.0 * (gf[0] * (1.0 - pick_f) + gf[1] * pick_f)
+        g_sel = 2.0 * (glfn[:, 0, :] * (1.0 - pick_f)
+                       + glfn[:, 1, :] * pick_f)
         flat_idx = rows * F + pick.astype(jnp.int32)
         dflat = jnp.zeros((L * T * F,), jnp.float32).at[flat_idx].add(g_sel)
         return dflat.reshape(L, T, F), None, None, None, None
-    flat = [jnp.zeros((L * T,), jnp.float32).at[rows].add(gf[f])
+    flat = [jnp.zeros((L * T,), jnp.float32).at[rows].add(glfn[:, f, :])
             for f in range(F)]
     dtable = jnp.stack(flat, axis=-1).reshape(L, T, F)
     return dtable, None, None, None, None
@@ -321,17 +357,135 @@ def _stoch_packed_bwd(cfg, res, g):
 hash_encode_stochastic_packed.defvjp(_stoch_packed_fwd, _stoch_packed_bwd)
 
 
+def pack_table_int8(table):
+    """(L, T, F<=4) fp32 table -> ((L*T,) uint32 words, (L,) scales).
+
+    Symmetric per-level int8 quantisation with a dynamic scale
+    s_l = max|table_l|: feature f of a bucket sits in byte f of its word.
+    One uint32 lookup then fetches up to FOUR features — half the
+    per-lookup tile cost of bf16 pairs at F=4 (docs/PERF_NOTES.md: the
+    lookup count is the entire cost on this chip).
+    """
+    L, T, F = table.shape
+    assert F <= 4, "int8 packing fits at most 4 features per word"
+    scale = jnp.max(jnp.abs(table), axis=(1, 2)) + 1e-12            # (L,)
+    q = jnp.round(table / scale[:, None, None] * 127.0)
+    q = jnp.clip(q, -127.0, 127.0).astype(jnp.int32)
+    word = jnp.zeros((L, T), jnp.uint32)
+    for f in range(F):
+        word = word | ((q[..., f].astype(jnp.uint32) & jnp.uint32(0xFF))
+                       << jnp.uint32(8 * f))
+    return word.reshape(L * T), scale
+
+
+def _unpack_int8(word, f: int, scale):
+    """Byte f of each uint32 word -> fp32 feature (sign-extended),
+    scale (L, 1) broadcast over (L, N)."""
+    b = ((word >> jnp.uint32(8 * f)) & jnp.uint32(0xFF)).astype(jnp.int32)
+    b = b - 256 * (b > 127)
+    return b.astype(jnp.float32) * (scale / 127.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def hash_encode_stochastic_int8(table, x, mu, sigma, cfg: HashConfig, key):
+    """Stochastic-corner encoding over a dynamically int8-quantised
+    table: ONE uint32 gather per (point, level) carries F (up to 4)
+    features.  Straight-through estimator: forward features are
+    int8-rounded, gradients scatter fp32 into the master table (the
+    standard QAT treatment; the optimizer state stays exact).
+    """
+    out, _ = _stoch_int8_fwd_impl(table, x, mu, sigma, cfg, key)
+    return out
+
+
+def _stoch_int8_fwd_impl(table, x, mu, sigma, cfg, key):
+    L, T, F = table.shape
+    N = x.shape[0]
+    rows = _stoch_packed_indices(x, mu, sigma, cfg, key)            # (L, N)
+    words_tbl, scale = pack_table_int8(table)
+    words = jnp.take(words_tbl, rows)                               # (L, N)
+    feats = [_unpack_int8(words, f, scale[:, None]) for f in range(F)]
+    out = _features_to_out(feats)
+    return out.astype(table.dtype), rows
+
+
+def _stoch_int8_fwd(table, x, mu, sigma, cfg, key):
+    out, rows = _stoch_int8_fwd_impl(table, x, mu, sigma, cfg, key)
+    pick = None
+    if cfg.grad_subsample:
+        F = table.shape[-1]
+        pick = jax.random.randint(jax.random.fold_in(key, 1), rows.shape,
+                                  0, F)
+    return out, (rows, pick, table.shape)
+
+
+def _stoch_int8_bwd(cfg, res, g):
+    rows, pick, tshape = res
+    L, T, F = tshape
+    glfn = _cotangent_to_lfn(g, L, F).astype(jnp.float32)        # (L, F, N)
+    if cfg.grad_subsample:
+        # unbiased 1-of-F feature subsampling: route F x the gradient of
+        # one randomly chosen feature -> scatter volume drops F-fold
+        g_sel = jnp.zeros(rows.shape, jnp.float32)
+        for f in range(F):
+            g_sel = g_sel + glfn[:, f, :] * (pick == f)
+        g_sel = g_sel * float(F)                                 # (L, N)
+        flat_idx = rows * F + pick.astype(jnp.int32)
+        dflat = jnp.zeros((L * T * F,), jnp.float32).at[flat_idx].add(g_sel)
+        return dflat.reshape(L, T, F), None, None, None, None
+    # scalar scatters per feature: measured FASTER than one (1, F)
+    # row-window scatter on v5e (77M vs ~45M scalar-contributions/s,
+    # scripts/tpu_probe_r2.py)
+    base = rows * F
+    dflat = jnp.zeros((L * T * F,), jnp.float32)
+    for f in range(F):
+        dflat = dflat.at[base + f].add(glfn[:, f, :])
+    return dflat.reshape(L, T, F), None, None, None, None
+
+
+hash_encode_stochastic_int8.defvjp(_stoch_int8_fwd, _stoch_int8_bwd)
+
+
 def encode(table, x, mu, sigma, cfg: HashConfig, key=None,
            stochastic: bool = False):
-    """Variant dispatcher.  ``stochastic`` (corner variant only) uses the
-    unbiased single-corner estimator and requires ``key``."""
+    """Hashed-levels variant dispatcher.  ``stochastic`` (corner variant
+    only) uses the unbiased single-corner estimator and requires ``key``.
+    With ``cfg.dense_levels`` > 0 this encodes ONLY the hashed levels —
+    use :func:`encode_params` for the full feature vector."""
     if cfg.variant == "cell":
         return hash_encode_cell(table, x, mu, sigma, cfg)
     if stochastic:
         if key is None:
             raise ValueError("stochastic hash encoding requires a PRNG key")
+        if cfg.packed and cfg.pack_format == "int8":
+            return hash_encode_stochastic_int8(table, x, mu, sigma, cfg, key)
         if cfg.packed and cfg.features_per_level == 2:
             return hash_encode_stochastic_packed(table, x, mu, sigma, cfg,
                                                  key)
         return hash_encode_stochastic(table, x, mu, sigma, cfg, key)
     return hash_encode(table, x, mu, sigma, cfg)
+
+
+def encode_params(enc_params, x, mu, sigma, cfg: HashConfig, key=None,
+                  stochastic: bool = False):
+    """Encode against the full encoder param dict.
+
+    enc_params: {"table": (L_hashed, T, P)[, "dense": tuple of grids]}
+    Feature order: dense (coarsest) levels first, then hashed levels —
+    the same coarse-to-fine order as the all-hashed encoding, so the MLP
+    sees an identical layout whether or not dense levels are enabled.
+    """
+    parts = []
+    if cfg.dense_levels > 0:
+        from human_body_reconstruction_tpu.ops import dense_grid
+
+        if "dense" not in enc_params:
+            raise ValueError(
+                f"cfg.dense_levels={cfg.dense_levels} but encoder params "
+                "carry no 'dense' grids (init with init_encoder)")
+        parts.append(dense_grid.dense_encode(enc_params["dense"], x, mu,
+                                             sigma, cfg))
+    if cfg.num_hashed_levels > 0:
+        parts.append(encode(enc_params["table"], x, mu, sigma, cfg,
+                            key=key, stochastic=stochastic))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)

@@ -59,7 +59,10 @@ def lookup(grid: OccupancyGrid, points, mu, sigma):
     """
     g = grid.mask.shape[0]
     c = cell_indices(points, mu, sigma, g)
-    return grid.mask[c[..., 0], c[..., 1], c[..., 2]]
+    # flat 1-D take: the multi-dim indexed gather lowers ~2x slower on
+    # TPU (same lesson as the hash table, docs/PERF_NOTES.md)
+    flat = (c[..., 0] * g + c[..., 1]) * g + c[..., 2]
+    return jnp.take(grid.mask.reshape(-1), flat)
 
 
 def update(grid: OccupancyGrid, density_fn, key, mu, sigma, *,

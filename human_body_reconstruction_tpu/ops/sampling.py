@@ -87,6 +87,49 @@ def sample_pdf(key, bins, weights, num_samples: int, *,
     return bins_below + frac * (bins_above - bins_below)
 
 
+def occupancy_guided_ts(key, rays_o, rays_d, occ, mu, sigma, near, far,
+                        num_samples: int, num_probe: int = 0,
+                        eps: float = 1e-3, jitter: bool = True):
+    """Occupancy-guided sample placement (NerfAcc-style, TPU-static).
+
+    Replaces the fixed top-K truncation of ``compact_samples`` with
+    probabilistic placement: probe ``num_probe`` uniform intervals of
+    [near, far] against the occupancy grid, build a per-ray
+    piecewise-constant pdf over the OCCUPIED intervals, and draw
+    ``num_samples`` samples by inverse CDF.  Rays with more occupied
+    span than the budget spread samples proportionally instead of losing
+    their tail (the truncation risk of top-K compaction); fully-empty
+    rays fall back to uniform (their densities are masked to zero
+    downstream anyway).
+
+    Returns (t (B, K) sorted, dt (B, K)) where dt is clipped at each
+    sample's probe-interval boundary so an occupied sample's density is
+    never integrated across the empty gap to the next sample.
+    """
+    M = num_probe or 2 * num_samples
+    near = jnp.asarray(near, jnp.float32)
+    far = jnp.asarray(far, jnp.float32)
+    h = (far - near) / M
+    tm = near + (jnp.arange(M, dtype=jnp.float32) + 0.5) * h        # (M,)
+    pts = (rays_o[:, None, :]
+           + rays_d[:, None, :] * tm[None, :, None])                # (B, M, 3)
+    from human_body_reconstruction_tpu.ops import occupancy as occ_lib
+
+    m = occ_lib.lookup(occ, pts, mu, sigma)                         # (B, M)
+    bins = near + jnp.arange(M + 1, dtype=jnp.float32) * h          # (M+1,)
+    bins = jnp.broadcast_to(bins, m.shape[:-1] + (M + 1,))
+    t = sample_pdf(key, bins, m, num_samples, deterministic=not jitter,
+                   eps=eps)
+    t = jnp.sort(t, axis=-1)                                        # (B, K)
+    # clip dt at the containing probe interval's end
+    interval = jnp.floor((t - near) / h)
+    interval_end = near + (interval + 1.0) * h
+    t_next = jnp.concatenate(
+        [t[..., 1:], jnp.broadcast_to(far, t[..., :1].shape)], axis=-1)
+    dt = jnp.minimum(t_next, interval_end) - t
+    return t, jnp.maximum(dt, 0.0)
+
+
 def hierarchical_ts(key, t_coarse, weights, num_fine: int):
     """Merge coarse t values with importance-resampled fine t values.
 

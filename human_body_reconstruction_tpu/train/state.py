@@ -58,6 +58,12 @@ def make_optimizer(cfg: TrainConfig, total_steps: int, params):
         learning_rate=_make_schedule(cfg, cfg.lr_mlp, total_steps),
         weight_decay=cfg.weight_decay)
     transforms = {"table": tx_table, "mlp": tx_mlp}
+    if "dense" in params:
+        # dense coarse-level grids are embeddings like the hash table:
+        # same Adam + schedule treatment (reference train_hash2.py:141)
+        transforms["dense"] = optax.adam(
+            learning_rate=_make_schedule(cfg, cfg.lr_hash, total_steps),
+            eps=1e-15)
     if "var" in params:
         transforms["var"] = optax.adamw(learning_rate=cfg.lr_var)
 

@@ -42,7 +42,7 @@ def _probe_loss(params, scene, ds, key, cfg, occ):
 def init_params(key, cfg: PipelineConfig):
     k1, k2 = jax.random.split(key)
     params = {
-        "table": he.init_table(k1, cfg.hash),
+        **he.init_encoder(k1, cfg.hash),
         "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
                                   cfg.dir_enc.out_dim),
     }

@@ -54,10 +54,31 @@ class HashConfig:
     # Stochastic-corner uniforms from the TPU hardware PRNG (a Pallas
     # kernel) instead of threefry; ignored off-TPU.
     hw_rng: bool = False
+    # Store the first `dense_levels` (coarsest) levels as DENSE grids
+    # (real Instant-NGP section 4 — the reference hashes every level,
+    # hash_encoding.py:41-55) evaluated as MXU tensor-product matmuls
+    # with no random gather/scatter at all (ops/dense_grid.py).  The
+    # hash table then holds only the remaining num_levels - dense_levels
+    # hashed levels.  Coarse levels become collision-free and their
+    # training cost leaves the chip's lookup bottleneck entirely.
+    dense_levels: int = 0
+    # bf16 matmul operands on the dense path (fp32 accumulation); fp32
+    # operands are ~6x slower on the MXU and only needed for parity tests.
+    dense_bf16: bool = True
+    # Packed-gather word format (with `packed`):
+    #   "bf16": F == 2 bf16 features per uint32 word,
+    #   "int8": F features (2 or 4) as symmetric-int8 lanes of one word,
+    #     dequantised by a per-level dynamic scale — 4 features per
+    #     lookup at F=4, halving lookups again vs bf16 pairs.
+    pack_format: str = "bf16"
 
     @property
     def table_size(self) -> int:
         return 2 ** self.log2_table_size
+
+    @property
+    def num_hashed_levels(self) -> int:
+        return self.num_levels - self.dense_levels
 
     @property
     def corners(self) -> int:
@@ -153,6 +174,12 @@ class RenderConfig:
     # compositing over the kept subset with full-ladder dt is exact as
     # long as no occupied sample overflows the K budget.
     compact_samples: int = 0
+    # With occupancy on: place training samples by inverse-CDF over the
+    # OCCUPIED probe intervals of each ray (num_samples probes,
+    # compact_samples-or-num_samples placed) instead of stratified +
+    # top-K truncation — proportional coverage with no truncation risk
+    # (NerfAcc-style, ops/sampling.py occupancy_guided_ts).
+    occ_guided: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,172 @@
+"""int8 4-per-word packed hash encoding tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from human_body_reconstruction_tpu.ops import hash_encoding as he
+from human_body_reconstruction_tpu.utils.config import HashConfig
+
+
+def cfg_int8(**kw):
+    kw.setdefault("num_levels", 4)
+    kw.setdefault("features_per_level", 4)
+    kw.setdefault("log2_table_size", 8)
+    kw.setdefault("n_min", 4)
+    kw.setdefault("n_max", 32)
+    kw.setdefault("stochastic_train", True)
+    kw.setdefault("packed", True)
+    kw.setdefault("pack_format", "int8")
+    return HashConfig(**kw)
+
+
+def test_pack_roundtrip_quant_error():
+    cfg = cfg_int8()
+    table = he.init_table(jax.random.PRNGKey(0), cfg)
+    words, scale = he.pack_table_int8(table)
+    L, T, F = table.shape
+    words = words.reshape(L, T)
+    rec = np.stack([np.asarray(he._unpack_int8(words, f, scale[:, None]))
+                    for f in range(F)], axis=-1)
+    err = np.abs(rec - np.asarray(table))
+    # symmetric int8: max error is half a quantisation step per level
+    step = np.asarray(scale)[:, None, None] / 127.0
+    assert (err <= 0.5 * step + 1e-9).all()
+
+
+def test_pack_negative_values_sign_extend():
+    table = jnp.asarray([[[-1.0, 0.5, -0.25, 1.0]]])  # (1, 1, 4)
+    words, scale = he.pack_table_int8(table)
+    rec = [float(he._unpack_int8(words.reshape(1, 1), f, scale[:, None])[0, 0])
+           for f in range(4)]
+    np.testing.assert_allclose(rec, [-1.0, 0.5, -0.25, 1.0], atol=1e-2)
+
+
+def test_int8_stochastic_expectation_matches_exact():
+    """Averaged over corner draws, the int8 stochastic encoding matches
+    the exact trilinear interpolant up to quantisation error."""
+    cfg = cfg_int8(num_levels=2, n_max=8)
+    table = he.init_table(jax.random.PRNGKey(1), cfg) * 1000.0  # larger range
+    x = jax.random.uniform(jax.random.PRNGKey(2), (5, 3))
+    exact = np.asarray(he.hash_encode(table, x, 0.0, 1.0, cfg))
+    acc = np.zeros_like(exact)
+    R = 600
+    for r in range(R):
+        acc += np.asarray(he.hash_encode_stochastic_int8(
+            table, x, 0.0, 1.0, cfg, jax.random.PRNGKey(100 + r)))
+    mean = acc / R
+    scale = np.asarray(jnp.max(jnp.abs(table), axis=(1, 2)))
+    tol = (scale / 127.0).max() * 0.75 + 4.0 * np.abs(exact).max() / np.sqrt(R)
+    assert np.abs(mean - exact).max() < tol
+
+
+def test_int8_grad_row_scatter_matches_reference():
+    """VJP without subsampling: each sampled bucket row accumulates the
+    full feature gradient (straight-through through quantisation)."""
+    cfg = cfg_int8(grad_subsample=False)
+    table = he.init_table(jax.random.PRNGKey(3), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (7, 3))
+    key = jax.random.PRNGKey(5)
+
+    def f(tb):
+        out = he.hash_encode_stochastic_int8(tb, x, 0.0, 1.0, cfg, key)
+        return jnp.sum(out * jnp.arange(out.size).reshape(out.shape))
+
+    g = np.asarray(jax.grad(f)(table))
+    # reference: recompute rows and accumulate by loop
+    rows = np.asarray(he._stoch_packed_indices(x, 0.0, 1.0, cfg, key))
+    L, T, F = table.shape
+    cot = np.arange(7 * L * F).reshape(7, L, F).astype(np.float64)
+    expect = np.zeros((L * T, F))
+    for n in range(7):
+        for l in range(L):
+            expect[rows[l, n]] += cot[n, l]
+    np.testing.assert_allclose(g, expect.reshape(L, T, F), rtol=1e-6)
+
+
+def test_int8_grad_subsample_unbiased():
+    """1-of-F gradient routing: E[subsampled grad] == full grad."""
+    cfg_full = cfg_int8(grad_subsample=False)
+    cfg_sub = cfg_int8(grad_subsample=True)
+    table = he.init_table(jax.random.PRNGKey(6), cfg_full)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (6, 3))
+    key = jax.random.PRNGKey(8)
+
+    def f(tb, cfg, k):
+        out = he.hash_encode_stochastic_int8(tb, x, 0.0, 1.0, cfg, k)
+        return jnp.sum(out ** 2) / 2.0
+
+    # NOTE: the corner draw depends only on `key` via _stoch_packed_indices
+    # while the pick uses fold_in(key, 1); same key => same corners.
+    g_full = np.asarray(jax.grad(lambda tb: f(tb, cfg_full, key))(table))
+    acc = np.zeros_like(g_full)
+    R = 400
+    for r in range(R):
+        # same corners each time is impossible through the public API (the
+        # pick is derived from the key), so check unbiasedness in
+        # expectation over BOTH: E over keys of (sub - full) ~ 0.
+        k = jax.random.PRNGKey(1000 + r)
+        gs = np.asarray(jax.grad(lambda tb: f(tb, cfg_sub, k))(table))
+        gf = np.asarray(jax.grad(lambda tb: f(tb, cfg_full, k))(table))
+        acc += gs - gf
+    diff = acc / R
+    denom = np.abs(g_full).max() + 1e-12
+    assert np.abs(diff).max() / denom < 0.25
+
+
+def test_encode_dispatch_int8():
+    cfg = cfg_int8()
+    table = he.init_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (9, 3))
+    out = he.encode(table, x, 0.0, 1.0, cfg, key=jax.random.PRNGKey(2),
+                    stochastic=True)
+    assert out.shape == (9, cfg.num_levels * 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_l8f4_same_out_dim_as_l16f2():
+    a = HashConfig(num_levels=8, features_per_level=4)
+    b = HashConfig(num_levels=16, features_per_level=2)
+    assert a.out_dim == b.out_dim == 32
+
+
+def test_end_to_end_train_step_int8_dense():
+    """One fused train step with L=8/F=4 int8 + dense coarse levels."""
+    from human_body_reconstruction_tpu.data import synthetic
+    from human_body_reconstruction_tpu.models import mlp as mlp_lib
+    from human_body_reconstruction_tpu.ops import rays as rays_lib
+    from human_body_reconstruction_tpu.train import state as state_lib
+    from human_body_reconstruction_tpu.train import step as step_lib
+    from human_body_reconstruction_tpu.utils import config as C
+
+    cfg = C.PipelineConfig(
+        hash=HashConfig(num_levels=8, features_per_level=4,
+                        log2_table_size=10, n_min=4, n_max=256,
+                        stochastic_train=True, packed=True,
+                        pack_format="int8", grad_subsample=True,
+                        dense_levels=2),
+        render=C.RenderConfig(num_samples=8),
+        train=C.TrainConfig(ray_batch=64))
+    ds = synthetic.make_dataset(n_views=2, H=16, W=16)
+    lo, hi = rays_lib.scene_bounds(ds["H"], ds["W"], ds["K"], ds["c2ws"],
+                                   ds["near"], ds["far"])
+    scene = {"mu": lo, "sigma": jnp.sqrt(jnp.sum((hi - lo) ** 2)),
+             "min_bound": lo, "max_bound": hi}
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        **he.init_encoder(k1, cfg.hash),
+        "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
+                                  cfg.dir_enc.out_dim),
+    }
+    # snapshot before the step: train_step donates `state`
+    table0 = np.asarray(params["table"])
+    dense0 = np.asarray(params["dense"][0])
+    state, tx = state_lib.create_train_state(params, cfg.train, 10)
+    state, metrics = step_lib.train_step(state, scene, ds["images"],
+                                         ds["c2ws"], ds["K"],
+                                         jax.random.PRNGKey(1), cfg, tx, 64)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+    # both encoder param groups moved
+    assert np.abs(np.asarray(state.params["table"]) - table0).max() > 0
+    assert np.abs(np.asarray(state.params["dense"][0]) - dense0).max() > 0

@@ -43,8 +43,12 @@ def build_parser():
     p.add_argument("--vocab_path", default="")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--mask_categories", nargs="*", type=str, default=[],
-                   help="accepted for parity; use the segment CLI for "
-                        "mask generation")
+                   help="COCO categories to mask out: writes a "
+                        "dynamic_mask_<frame>.png per frame (Mask R-CNN) "
+                        "and records mask_path in the transforms "
+                        "(reference colmap2nerf.py:394-440)")
+    p.add_argument("--mask_score_thresh", type=float, default=0.5,
+                   help="detector score threshold for --mask_categories")
     p.add_argument("--no_sharpness", action="store_true",
                    help="skip per-frame Laplacian sharpness")
     return p
@@ -72,8 +76,14 @@ def main(argv=None):
         compute_sharpness=not args.no_sharpness,
         json_dir=os.path.dirname(args.out) or ".")
     if args.mask_categories:
-        print("note: --mask_categories is handled by the segment CLI "
-              "(python -m human_body_reconstruction_tpu.cli.segment)")
+        from human_body_reconstruction_tpu.pipeline import masking
+
+        masking.apply_mask_categories(
+            out, args.mask_categories,
+            json_dir=os.path.dirname(args.out) or ".",
+            score_thresh=args.mask_score_thresh)
+        print(f"wrote dynamic masks for {len(out['frames'])} frames "
+              f"({' '.join(args.mask_categories)})")
     capture.write_transforms(out, args.out)
     print(f"{len(out['frames'])} frames -> {args.out}")
 

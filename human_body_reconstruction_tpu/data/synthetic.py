@@ -101,6 +101,64 @@ def humanoid_field(pts):
     return rgb, sigma
 
 
+def sphere_field(pts, radius: float = 0.6):
+    """SDF-friendly subject: one solid sphere with a smooth colour ramp.
+
+    Used by the SDF-mode convergence test — the recovered zero level set
+    must sit at ``radius``.  Returns (rgb (N, 3), sigma (N,)).
+    """
+    r = jnp.linalg.norm(pts, axis=-1)
+    sigma = 80.0 * jax.nn.sigmoid(-40.0 * (r - radius))
+    rgb = jnp.stack([0.75 + 0.2 * pts[:, 0],
+                     0.45 + 0.2 * pts[:, 1],
+                     0.35 + 0.2 * pts[:, 2]], axis=-1)
+    return jnp.clip(rgb, 0.0, 1.0), sigma
+
+
+def textured_field(pts, freq: float = 24.0):
+    """HARD quality benchmark subject: high-frequency texture + thin
+    structures (VERDICT.md round-1 weak #3 — the smooth blob scenes
+    cannot stress hash collisions or the accelerated encoder modes).
+
+    Geometry: a thin spherical shell (thickness ~0.05), three thin rods
+    (r=0.03) crossing the interior, and a small solid core.  Albedo: a
+    3-octave trig "checker-noise" with wavelengths down to ~0.08 units —
+    at 400 px across a ~2.5-unit subject that is ~6-13 px per feature,
+    unresolvable by coarse levels, so fidelity depends on the fine
+    (hashed, collision-prone) levels actually learning.
+    Returns (rgb (N, 3), sigma (N,)).
+    """
+    r = jnp.linalg.norm(pts, axis=-1)
+    sharp = 200.0
+    # thin shell at radius 0.85
+    shell = jnp.exp(-((r - 0.85) / 0.025) ** 2)
+    # three thin axis-aligned rods through the centre
+    rod_r = 0.03
+    rx = jnp.sqrt(pts[:, 1] ** 2 + pts[:, 2] ** 2)
+    ry = jnp.sqrt(pts[:, 0] ** 2 + pts[:, 2] ** 2)
+    rz = jnp.sqrt(pts[:, 0] ** 2 + pts[:, 1] ** 2)
+    inside = (r < 0.95).astype(jnp.float32)
+    rods = (jax.nn.sigmoid(-sharp * (rx - rod_r))
+            + jax.nn.sigmoid(-sharp * (ry - rod_r))
+            + jax.nn.sigmoid(-sharp * (rz - rod_r))) * inside
+    core = jax.nn.sigmoid(-sharp * (r - 0.18))
+    sigma = 120.0 * shell + 90.0 * jnp.clip(rods, 0.0, 1.0) + 90.0 * core
+
+    # 3-octave incommensurate trig texture per channel
+    def octave(p, f, phase):
+        return (jnp.sin(f * p[:, 0] + phase)
+                * jnp.sin(f * 1.31 * p[:, 1] + 2.1 * phase)
+                * jnp.sin(f * 0.87 * p[:, 2] + 0.7 * phase))
+
+    tex_r = (octave(pts, freq, 0.0) + 0.5 * octave(pts, 2.3 * freq, 1.0))
+    tex_g = (octave(pts, 1.7 * freq, 2.0) + 0.5 * octave(pts, 3.1 * freq, 0.4))
+    tex_b = (octave(pts, 1.3 * freq, 4.0) + 0.5 * octave(pts, 2.7 * freq, 1.7))
+    rgb = jnp.stack([0.5 + 0.33 * tex_r,
+                     0.5 + 0.33 * tex_g,
+                     0.5 + 0.33 * tex_b], axis=-1)
+    return jnp.clip(rgb, 0.0, 1.0), sigma
+
+
 def render_gt_image(H: int, W: int, K, c2w, field=blob_field,
                     near: float = 2.0, far: float = 6.0,
                     num_samples: int = 256):

@@ -1,0 +1,201 @@
+"""Quality matrix on the HARD textured scene (VERDICT round-1 item 4).
+
+Trains every encoder operating mode at reference-scale hash parameters
+(T=2**16, N_max=2048, 128 samples/ray, 16k-ray batches) on the
+high-frequency textured_field scene (400x400, 20 train views + 1
+held-out), each under the SAME wall-clock budget, then evaluates the
+held-out view with the exact interpolant at 128 samples.
+
+Emits JSON lines per mode and a final summary table for PERF_NOTES.md:
+mode, steps done, rays/s, train PSNR, held-out PSNR.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality_matrix.py \
+      [--budget 360] [--height 400] [--modes exact,stoch,...]
+"""
+
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_modes(C, dense_grid):
+    h = dict(num_levels=16, features_per_level=2, n_min=16, n_max=2048,
+             log2_table_size=16)
+    r = dict(num_samples=128, near=2.0, far=6.0)
+    occ_kw = dict(occupancy=True, occupancy_resolution=128)
+    int8 = C.HashConfig(num_levels=8, features_per_level=4, n_min=16,
+                        n_max=2048, log2_table_size=16,
+                        stochastic_train=True, packed=True,
+                        pack_format="int8", grad_subsample=True, hw_rng=True)
+    int8 = dataclasses.replace(
+        int8, dense_levels=dense_grid.auto_dense_levels(int8))
+    h16d = C.HashConfig(**h, stochastic_train=True, packed=True,
+                        grad_subsample=True, hw_rng=True)
+    h16d = dataclasses.replace(
+        h16d, dense_levels=dense_grid.auto_dense_levels(h16d))
+    return {
+        "exact": C.PipelineConfig(
+            hash=C.HashConfig(**h), render=C.RenderConfig(**r)),
+        "cell": C.PipelineConfig(
+            hash=C.HashConfig(**h, variant="cell"),
+            render=C.RenderConfig(**r)),
+        "stochastic": C.PipelineConfig(
+            hash=C.HashConfig(**h, stochastic_train=True, hw_rng=True),
+            render=C.RenderConfig(**r)),
+        "packed": C.PipelineConfig(
+            hash=C.HashConfig(**h, stochastic_train=True, packed=True,
+                              hw_rng=True),
+            render=C.RenderConfig(**r)),
+        "packed_gsub": C.PipelineConfig(
+            hash=C.HashConfig(**h, stochastic_train=True, packed=True,
+                              grad_subsample=True, hw_rng=True),
+            render=C.RenderConfig(**r)),
+        "packed_compact": C.PipelineConfig(
+            hash=C.HashConfig(**h, stochastic_train=True, packed=True,
+                              grad_subsample=True, hw_rng=True),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48)),
+        "packed_dense": C.PipelineConfig(
+            hash=h16d,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48)),
+        "int8_dense": C.PipelineConfig(
+            hash=int8,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48)),
+        "int8_dense_guided": C.PipelineConfig(
+            hash=int8,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget", type=float, default=360.0,
+                    help="training wall-clock budget per mode (s), "
+                         "measured AFTER the first (compile) step")
+    ap.add_argument("--height", type=int, default=400)
+    ap.add_argument("--views", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--modes", type=str, default="")
+    ap.add_argument("--max_steps", type=int, default=6000)
+    ap.add_argument("--out", type=str, default="quality_matrix.json")
+    args = ap.parse_args()
+
+    from human_body_reconstruction_tpu.data import synthetic
+    from human_body_reconstruction_tpu.models import mlp as mlp_lib
+    from human_body_reconstruction_tpu.models import nerf
+    from human_body_reconstruction_tpu.ops import dense_grid
+    from human_body_reconstruction_tpu.ops import hash_encoding as he
+    from human_body_reconstruction_tpu.ops import occupancy
+    from human_body_reconstruction_tpu.ops import rays as rays_lib
+    from human_body_reconstruction_tpu.train import state as state_lib
+    from human_body_reconstruction_tpu.train import step as step_lib
+    from human_body_reconstruction_tpu.utils import config as C
+
+    H = W = args.height
+    focal = 1.1 * H
+    K = jnp.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                    jnp.float32)
+    poses = synthetic.orbit_poses(args.views + 1, radius=4.0, elevation=0.35)
+    print(f"rendering {args.views + 1} GT views at {H}x{W} ...", flush=True)
+    t0 = time.time()
+    imgs = np.stack([synthetic.render_gt_image(
+        H, W, K, poses[i], field=synthetic.textured_field,
+        num_samples=384) for i in range(args.views + 1)])
+    print(f"GT done in {time.time() - t0:.0f}s", flush=True)
+    train_imgs = jnp.asarray(imgs[:args.views])
+    train_poses = jnp.asarray(poses[:args.views])
+    hold_img = imgs[args.views]
+    hold_pose = jnp.asarray(poses[args.views])
+
+    lo, hi = rays_lib.scene_bounds(H, W, K, train_poses, 2.0, 6.0)
+    scene = {"mu": lo, "sigma": jnp.sqrt(jnp.sum((hi - lo) ** 2)),
+             "min_bound": lo, "max_bound": hi}
+
+    modes = make_modes(C, dense_grid)
+    if args.modes:
+        keep = args.modes.split(",")
+        modes = {k: v for k, v in modes.items() if k in keep}
+
+    results = {}
+    for name, cfg in modes.items():
+        cfg = dataclasses.replace(
+            cfg, train=C.TrainConfig(ray_batch=args.batch))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        params = {
+            **he.init_encoder(k1, cfg.hash),
+            "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
+                                      cfg.dir_enc.out_dim),
+        }
+        occ = (occupancy.init_grid(cfg.render.occupancy_resolution,
+                                   threshold=0.01)
+               if cfg.render.occupancy else None)
+        state, tx = state_lib.create_train_state(params, cfg.train,
+                                                 args.max_steps, occ=occ)
+
+        def run(state):
+            return step_lib.train_step(state, scene, train_imgs, train_poses,
+                                       K, jax.random.PRNGKey(1), cfg, tx,
+                                       args.batch)
+
+        state, m = run(state)        # compile step (excluded from budget)
+        float(m["loss"])
+        steps = 1
+        t0 = time.perf_counter()
+        last_psnr = float(m["psnr"])
+        while (time.perf_counter() - t0 < args.budget
+               and steps < args.max_steps):
+            state, m = run(state)
+            steps += 1
+            if occ is not None and steps % 64 == 0:
+                params_now = state.params
+                new_occ = occupancy.update(
+                    state.occ,
+                    lambda p: nerf.density_only(params_now, scene, p, cfg),
+                    jax.random.PRNGKey(steps), scene["mu"], scene["sigma"],
+                    num_cells=2 ** 20)
+                state = state._replace(occ=new_occ)
+            if steps % 200 == 0:
+                last_psnr = float(m["psnr"])
+                print(f"  [{name}] step {steps} train_psnr "
+                      f"{last_psnr:.2f}", flush=True)
+        dt = time.perf_counter() - t0
+        float(m["loss"])
+        train_psnr = float(m["psnr"])
+        rays_s = steps * args.batch / dt
+
+        # held-out eval: exact interpolant, 128 samples, no culling
+        eval_cfg = dataclasses.replace(
+            cfg, hash=dataclasses.replace(cfg.hash, stochastic_train=False),
+            render=dataclasses.replace(cfg.render, occupancy=False,
+                                       compact_samples=0, occ_guided=False))
+        img = step_lib.render_image(state.params, scene, H, W, K, hold_pose,
+                                    eval_cfg, num_samples=128, chunk=32768)
+        mse = float(np.mean((img - hold_img) ** 2))
+        eval_psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        row = {"mode": name, "steps": steps, "rays_per_sec": round(rays_s, 1),
+               "train_psnr": round(train_psnr, 2),
+               "holdout_psnr": round(eval_psnr, 2),
+               "budget_s": round(dt, 1)}
+        if occ is not None:
+            row["occ_frac"] = round(
+                float(occupancy.occupied_fraction(state.occ)), 4)
+        results[name] = row
+        print(json.dumps(row), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print("\n| mode | steps | rays/s | train PSNR | holdout PSNR |")
+    print("|---|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['steps']} | {r['rays_per_sec']:.0f} | "
+              f"{r['train_psnr']:.2f} | {r['holdout_psnr']:.2f} |")
+
+
+if __name__ == "__main__":
+    main()

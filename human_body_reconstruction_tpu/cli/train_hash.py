@@ -112,6 +112,10 @@ def build_parser():
                    help="with --occupancy: inverse-CDF sample placement "
                         "over occupied intervals instead of top-K "
                         "truncation (budget = --compact or --num_samples)")
+    p.add_argument("--occ_probes", type=int, default=0,
+                   help="with --occ_guided: probe-interval count "
+                        "(0 = --num_samples); fewer probes cut the "
+                        "per-step occupancy-lookup cost")
     p.add_argument("--normalization", type=str, default="diagonal",
                    choices=["diagonal", "unit_box"],
                    help="scene->hash normalisation: reference 'diagonal' "
@@ -158,6 +162,7 @@ def make_config(args):
             hierarchical=args.hierarchical, use_sdf=args.use_sdf,
             white_background=args.white_bg, occupancy=args.occupancy,
             compact_samples=args.compact, occ_guided=args.occ_guided,
+            occ_probes=args.occ_probes,
             normalization=args.normalization),
         train=C.TrainConfig(
             num_epochs=args.num_epochs, ray_batch=args.num_batch,

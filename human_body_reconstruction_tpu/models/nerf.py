@@ -159,7 +159,8 @@ def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
         K_s = cfg.render.compact_samples or S
         t, dt_guided = sampling.occupancy_guided_ts(
             k_strat, rays_o, rays_d, occ, scene["mu"], scene["sigma"],
-            cfg.render.near, cfg.render.far, K_s, num_probe=S)
+            cfg.render.near, cfg.render.far, K_s,
+            num_probe=cfg.render.occ_probes or S)
     else:
         t = sampling.stratified_ts(
             k_strat, (B,), cfg.render.near, cfg.render.far, S,

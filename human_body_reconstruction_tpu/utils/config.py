@@ -180,6 +180,12 @@ class RenderConfig:
     # top-K truncation — proportional coverage with no truncation risk
     # (NerfAcc-style, ops/sampling.py occupancy_guided_ts).
     occ_guided: bool = False
+    # Probe-interval count for occ_guided (0 = num_samples).  Each probe
+    # is one tile-priced random grid lookup (docs/PERF_NOTES.md), so
+    # fewer probes directly cut the per-step occupancy cost; the grid
+    # cell size bounds the useful resolution (128 probes over a 4-unit
+    # ray span vs 128^3 cells over the scene — ~64 probes loses nothing).
+    occ_probes: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -138,6 +138,22 @@ def test_render_with_occ_guided_matches_plain_on_simple_scene():
     assert np.abs(a - b).mean() < 0.2
 
 
+def test_occ_probes_decoupled_from_sample_count():
+    """cfg.render.occ_probes halves the probe lookups without moving
+    the placement: samples still land in the occupied band."""
+    occ = _grid_with_occupied_band()
+    B, K = 64, 16
+    rays_o = jnp.tile(jnp.asarray([[0.5, 0.5, 0.0]]), (B, 1))
+    rays_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (B, 1))
+    for M in (64, 32):
+        t, _ = sampling.occupancy_guided_ts(
+            jax.random.PRNGKey(0), rays_o, rays_d, occ, 0.0, 1.0,
+            near=0.0, far=1.0, num_samples=K, num_probe=M)
+        t = np.asarray(t)
+        frac_in = ((t >= 0.37) & (t <= 0.63)).mean()
+        assert frac_in > 0.95, (M, frac_in)
+
+
 def test_textured_field_hard_scene():
     """The hard benchmark scene has thin structures + high-frequency
     albedo (the GT images must not be low-frequency mush)."""

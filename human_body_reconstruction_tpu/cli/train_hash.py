@@ -16,7 +16,8 @@ plus TPU-rebuild extensions: --steps (explicit step budget), --out_dir,
 Notes vs the reference:
   * --compile is accepted but a no-op: everything is always jit-compiled
     (the reference gates torch.compile, train_hash2.py:138-139),
-  * --display is accepted but headless environments just skip it,
+  * --display writes a rolling preview PNG (plus a cv2 window when a
+    display exists),
   * --plot_grads logs per-group gradient norms instead of opening a
     matplotlib window (helper.py:239-266).
 
@@ -34,7 +35,10 @@ import os
 def build_parser():
     p = argparse.ArgumentParser(description="Train Hashing (TPU-native)")
     # -- reference flag surface (train_hash2.py:20-42) --
-    p.add_argument("--display", action="store_true", help="Display the output")
+    p.add_argument("--display", action="store_true",
+                   help="live preview: overwrite <model>_preview.png each "
+                        "eval render and show a cv2 window when a display "
+                        "is available (reference train_hash2.py:247-268)")
     p.add_argument("--compile", action="store_true",
                    help="accepted for parity; everything is jit-compiled")
     p.add_argument("--load", action="store_true", help="Continue from checkpoint")
@@ -218,7 +222,8 @@ def main(argv=None):
     trainer = Trainer(cfg=cfg, ds=ds, out_dir=args.out_dir,
                       model_name=args.model_name,
                       log_grad_norms=args.plot_grads, eval_ds=eval_ds,
-                      total_steps=steps, data_parallel=args.data_parallel)
+                      total_steps=steps, data_parallel=args.data_parallel,
+                      display=args.display)
     if args.load:
         path = os.path.join(args.out_dir, f"{args.ckpt_name}_ckpt.npz")
         if not os.path.exists(path):

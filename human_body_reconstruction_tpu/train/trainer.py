@@ -81,6 +81,12 @@ class Trainer:
                                        # to num_epochs * steps-per-epoch
     data_parallel: bool = False        # shard the ray batch over all
                                        # devices (1-D mesh, pmean grads)
+    display: bool = False              # live preview of eval renders
+                                       # (reference train_hash2.py:247-268
+                                       # cv2 window): every eval render
+                                       # also overwrites <model>_preview.png
+                                       # and, when cv2 + a display exist,
+                                       # shows a non-blocking window
 
     def __post_init__(self):
         cfg = self.cfg
@@ -226,12 +232,31 @@ class Trainer:
         gt = np.asarray(ds["images"][pose_idx])
         mse = float(np.mean((img - gt) ** 2))
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        arr8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
         if write_png:
             from PIL import Image
 
             path = os.path.join(self.out_dir,
                                 f"{self.model_name}_{tag}.png")
-            Image.fromarray(
-                (np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+            Image.fromarray(arr8).save(path)
+        if self.display:
+            self._show_preview(arr8)
         self.log_fn(f"eval [{tag}] pose {pose_idx}: PSNR {psnr:.2f} dB")
         return psnr
+
+    def _show_preview(self, arr8):
+        """Rolling live preview: overwrite <model>_preview.png every eval
+        and show a non-blocking cv2 window when a display is available
+        (reference train_hash2.py:247-268 --display)."""
+        from PIL import Image
+
+        Image.fromarray(arr8).save(
+            os.path.join(self.out_dir, f"{self.model_name}_preview.png"))
+        try:
+            import cv2
+
+            if os.environ.get("DISPLAY") or os.name == "nt":
+                cv2.imshow(f"{self.model_name} preview", arr8[..., ::-1])
+                cv2.waitKey(1)
+        except Exception:
+            pass  # headless: the rolling PNG is the preview

@@ -116,6 +116,14 @@ def build_parser():
                    help="with --occupancy: inverse-CDF sample placement "
                         "over occupied intervals instead of top-K "
                         "truncation (budget = --compact or --num_samples)")
+    p.add_argument("--occ_warmup", type=int, default=256,
+                   help="steps trained WITHOUT culling before the "
+                        "occupancy grid engages (premature culling from "
+                        "a near-random field is self-reinforcing)")
+    p.add_argument("--occ_explore", type=float, default=0.05,
+                   help="with --occ_guided: fraction of sample mass "
+                        "routed to empty-marked intervals so "
+                        "wrongly-culled cells can recover")
     p.add_argument("--occ_probes", type=int, default=0,
                    help="with --occ_guided: probe-interval count "
                         "(0 = --num_samples); fewer probes cut the "
@@ -166,11 +174,12 @@ def make_config(args):
             hierarchical=args.hierarchical, use_sdf=args.use_sdf,
             white_background=args.white_bg, occupancy=args.occupancy,
             compact_samples=args.compact, occ_guided=args.occ_guided,
-            occ_probes=args.occ_probes,
+            occ_probes=args.occ_probes, occ_explore=args.occ_explore,
             normalization=args.normalization),
         train=C.TrainConfig(
             num_epochs=args.num_epochs, ray_batch=args.num_batch,
-            update_rate=args.update_rate, seed=args.seed),
+            update_rate=args.update_rate, seed=args.seed,
+            occ_warmup_steps=args.occ_warmup),
     )
 
 

@@ -93,7 +93,12 @@ def _render_pass(params, scene, rays_o, rays_d, dir_norm, t,
     K = cfg.render.compact_samples if allow_compact else 0
     mask = None
     dt = dt_override
-    if occ is not None:
+    if occ is not None and dt_override is None:
+        # Guided placement (dt_override set) skips the mask lookup
+        # entirely: samples are already placed by the grid, and masking
+        # them would zero the gradient of every exploration sample in an
+        # empty-marked cell — wrongly-culled cells could never recover
+        # (and the B*K lookups are tile-priced, docs/PERF_NOTES.md).
         mask = occupancy.lookup(occ, pts, scene["mu"], scene["sigma"])
         if dt_override is None and 0 < K < S and not cfg.render.use_sdf:
             # stable occupied-first order via top_k (cheaper than a full
@@ -160,7 +165,8 @@ def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
         t, dt_guided = sampling.occupancy_guided_ts(
             k_strat, rays_o, rays_d, occ, scene["mu"], scene["sigma"],
             cfg.render.near, cfg.render.far, K_s,
-            num_probe=cfg.render.occ_probes or S)
+            num_probe=cfg.render.occ_probes or S,
+            explore_frac=cfg.render.occ_explore)
     else:
         t = sampling.stratified_ts(
             k_strat, (B,), cfg.render.near, cfg.render.far, S,

@@ -89,7 +89,8 @@ def sample_pdf(key, bins, weights, num_samples: int, *,
 
 def occupancy_guided_ts(key, rays_o, rays_d, occ, mu, sigma, near, far,
                         num_samples: int, num_probe: int = 0,
-                        eps: float = 1e-3, jitter: bool = True):
+                        eps: float = 1e-3, jitter: bool = True,
+                        explore_frac: float = 0.05):
     """Occupancy-guided sample placement (NerfAcc-style, TPU-static).
 
     Replaces the fixed top-K truncation of ``compact_samples`` with
@@ -116,6 +117,18 @@ def occupancy_guided_ts(key, rays_o, rays_d, occ, mu, sigma, near, far,
     from human_body_reconstruction_tpu.ops import occupancy as occ_lib
 
     m = occ_lib.lookup(occ, pts, mu, sigma)                         # (B, M)
+    # Exploration floor: route ~explore_frac of each ray's sample mass
+    # to its EMPTY-marked intervals.  Without this, a cell the grid
+    # culled early never receives training samples, its density can
+    # never rise, and the culling becomes permanent even when wrong
+    # (measured on the hard textured scene: guided-only training
+    # plateaued 7 dB below the unculled modes, quality_matrix.json).
+    # Per-ray floor c solves  c*(M-n_occ) = f/(1-f) * n_occ.
+    if explore_frac > 0.0:
+        n_occ = jnp.sum(m, axis=-1, keepdims=True)                  # (B, 1)
+        f = explore_frac
+        c = (f / (1.0 - f)) * n_occ / jnp.maximum(M - n_occ, 1.0)
+        m = m + c
     bins = near + jnp.arange(M + 1, dtype=jnp.float32) * h          # (M+1,)
     bins = jnp.broadcast_to(bins, m.shape[:-1] + (M + 1,))
     t = sample_pdf(key, bins, m, num_samples, deterministic=not jitter,

@@ -76,7 +76,9 @@ def load_train_state(path: str, state):
     import jax.numpy as jnp
 
     occ = state.occ
-    if occ is not None and "occ_density" in extra:
+    if "occ_density" in extra:
+        # restore even into an occ-less template: a resume that lands
+        # past the occupancy warmup must come back WITH its grid
         from human_body_reconstruction_tpu.ops.occupancy import OccupancyGrid
 
         occ = OccupancyGrid(density=jnp.asarray(extra["occ_density"]),

@@ -98,6 +98,12 @@ class Trainer:
         self.params = init_params(jax.random.PRNGKey(cfg.train.seed), cfg)
         occ = (occupancy.init_grid(cfg.render.occupancy_resolution)
                if cfg.render.occupancy else None)
+        # occupancy warmup: train unculled first; the grid is installed
+        # (and immediately refreshed from the field) at warmup
+        self._occ_pending = None
+        if occ is not None and cfg.train.occ_warmup_steps > 0:
+            self._occ_pending = occ
+            occ = None
         if self.total_steps is None:
             self.total_steps = cfg.train.num_epochs * max(
                 1, (self.ds["images"].size // 3) // cfg.train.ray_batch)
@@ -138,8 +144,24 @@ class Trainer:
     def load(self, path: Optional[str] = None):
         self.state = ckpt_lib.load_train_state(path or self.ckpt_path(),
                                                self.state)
+        if self.state.occ is not None:
+            self._occ_pending = None   # resumed with a live grid
 
     # -- occupancy --------------------------------------------------------
+    def _install_occ(self, step_no: int):
+        """End of warmup: attach the grid and refresh it from the (now
+        trained) field so the first culling decision is informed."""
+        self.state = self.state._replace(occ=self._occ_pending)
+        self._occ_pending = None
+        if self.mesh is not None:
+            from human_body_reconstruction_tpu.parallel import (
+                data_parallel as dp)
+
+            self.state = self.state._replace(
+                occ=dp.replicate_to_mesh(self.state.occ, self.mesh))
+        self.update_occupancy(step_no)
+        self.log_fn(f"occupancy culling engaged at step {step_no}")
+
     def update_occupancy(self, step_no: Optional[int] = None):
         if self.state.occ is None:
             return
@@ -166,7 +188,13 @@ class Trainer:
         # host-side step counter: int(self.state.step) per iteration is a
         # device->host sync that serializes the step pipeline
         start_step = int(self.state.step)
+        if self._occ_pending is not None and (
+                start_step >= cfg.train.occ_warmup_steps):
+            self._install_occ(start_step)   # resumed past warmup
         for i in range(steps):
+            if self._occ_pending is not None and (
+                    start_step + i >= cfg.train.occ_warmup_steps):
+                self._install_occ(start_step + i)
             if self._dp_step is not None:
                 self.state, metrics = self._dp_step(
                     self.state, self.scene, self.ds["images"],

@@ -186,6 +186,10 @@ class RenderConfig:
     # cell size bounds the useful resolution (128 probes over a 4-unit
     # ray span vs 128^3 cells over the scene — ~64 probes loses nothing).
     occ_probes: int = 0
+    # With occ_guided: fraction of each ray's sample mass routed to its
+    # EMPTY-marked intervals so wrongly-culled cells keep training and
+    # can recover (ops/sampling.py occupancy_guided_ts exploration floor).
+    occ_explore: float = 0.05
 
 
 @dataclasses.dataclass(frozen=True)
@@ -207,6 +211,13 @@ class TrainConfig:
                                      # (reference train_hash2.py:192, 218)
     update_rate: int = 15            # occupancy-grid update cadence
     write_every: int = 0             # steps between eval renders (0 = auto)
+    # Steps trained WITHOUT culling before the occupancy grid engages.
+    # Culling decisions taken from a near-random field are wrong and
+    # (with top-K compaction) self-reinforcing: truncated rays train a
+    # foggy field whose density keeps every cell above threshold, so the
+    # grid never converges and quality collapses (measured: holdout
+    # 15.6 dB vs 28.8 unculled on the hard scene, quality_matrix.json).
+    occ_warmup_steps: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

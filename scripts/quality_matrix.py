@@ -60,6 +60,11 @@ def make_modes(C, dense_grid):
             hash=C.HashConfig(**h, stochastic_train=True, packed=True,
                               grad_subsample=True, hw_rng=True),
             render=C.RenderConfig(**r, **occ_kw, compact_samples=48)),
+        "packed_guided": C.PipelineConfig(
+            hash=C.HashConfig(**h, stochastic_train=True, packed=True,
+                              grad_subsample=True, hw_rng=True),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64)),
         "packed_dense": C.PipelineConfig(
             hash=h16d,
             render=C.RenderConfig(**r, **occ_kw, compact_samples=48)),
@@ -69,7 +74,7 @@ def make_modes(C, dense_grid):
         "int8_dense_guided": C.PipelineConfig(
             hash=int8,
             render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
-                                  occ_guided=True)),
+                                  occ_guided=True, occ_probes=64)),
     }
 
 
@@ -132,40 +137,61 @@ def main():
             "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
                                       cfg.dir_enc.out_dim),
         }
-        occ = (occupancy.init_grid(cfg.render.occupancy_resolution,
-                                   threshold=0.01)
-               if cfg.render.occupancy else None)
+        # occupancy engages only after warmup (quality_matrix round-2
+        # finding: culling from a near-random field is self-reinforcing
+        # — the truncated rays train fog, the grid never converges)
+        warmup = cfg.train.occ_warmup_steps if cfg.render.occupancy else 0
+        occ_pending = (occupancy.init_grid(cfg.render.occupancy_resolution,
+                                           threshold=0.01)
+                       if cfg.render.occupancy else None)
         state, tx = state_lib.create_train_state(params, cfg.train,
-                                                 args.max_steps, occ=occ)
+                                                 args.max_steps, occ=None)
 
         def run(state):
             return step_lib.train_step(state, scene, train_imgs, train_poses,
                                        K, jax.random.PRNGKey(1), cfg, tx,
                                        args.batch)
 
+        def occ_refresh(state, steps):
+            params_now = state.params
+            new_occ = occupancy.update(
+                state.occ,
+                lambda p: nerf.density_only(params_now, scene, p, cfg),
+                jax.random.PRNGKey(steps), scene["mu"], scene["sigma"],
+                num_cells=2 ** 20)
+            return state._replace(occ=new_occ)
+
         state, m = run(state)        # compile step (excluded from budget)
         float(m["loss"])
         steps = 1
         t0 = time.perf_counter()
-        last_psnr = float(m["psnr"])
         while (time.perf_counter() - t0 < args.budget
                and steps < args.max_steps):
+            if occ_pending is not None and steps >= warmup:
+                state = occ_refresh(state._replace(occ=occ_pending), steps)
+                occ_pending = None
+                # the culled step is a fresh HLO: exclude its (remote)
+                # compile from the budget like the first step's
+                tc = time.perf_counter()
+                state, m = run(state)
+                float(m["loss"])
+                steps += 1
+                t0 += time.perf_counter() - tc
             state, m = run(state)
             steps += 1
-            if occ is not None and steps % 64 == 0:
-                params_now = state.params
-                new_occ = occupancy.update(
-                    state.occ,
-                    lambda p: nerf.density_only(params_now, scene, p, cfg),
-                    jax.random.PRNGKey(steps), scene["mu"], scene["sigma"],
-                    num_cells=2 ** 20)
-                state = state._replace(occ=new_occ)
+            if state.occ is not None and steps % 64 == 0:
+                state = occ_refresh(state, steps)
+            if steps % 32 == 0:
+                # force a sync so the dispatch queue cannot run ahead of
+                # the budget clock (round-1 matrix overshot 5x on the
+                # slowest mode and quantized step counts to the sync
+                # cadence)
+                float(m["loss"])
             if steps % 200 == 0:
-                last_psnr = float(m["psnr"])
                 print(f"  [{name}] step {steps} train_psnr "
-                      f"{last_psnr:.2f}", flush=True)
-        dt = time.perf_counter() - t0
+                      f"{float(m['psnr']):.2f}", flush=True)
         float(m["loss"])
+        dt = time.perf_counter() - t0
         train_psnr = float(m["psnr"])
         rays_s = steps * args.batch / dt
 
@@ -182,7 +208,7 @@ def main():
                "train_psnr": round(train_psnr, 2),
                "holdout_psnr": round(eval_psnr, 2),
                "budget_s": round(dt, 1)}
-        if occ is not None:
+        if state.occ is not None:
             row["occ_frac"] = round(
                 float(occupancy.occupied_fraction(state.occ)), 4)
         results[name] = row

@@ -148,7 +148,8 @@ def test_trainer_occupancy_updates(tmp_path):
                                 n_max=64),
         render=cfg_lib.RenderConfig(num_samples=16, occupancy=True,
                                     occupancy_resolution=32),
-        train=cfg_lib.TrainConfig(ray_batch=256, update_rate=5),
+        train=cfg_lib.TrainConfig(ray_batch=256, update_rate=5,
+                                  occ_warmup_steps=0),
     )
     ds = synthetic.make_dataset(n_views=3, H=24, W=24)
     tr = Trainer(cfg=cfg, ds=ds, out_dir=str(tmp_path), model_name="o",
@@ -161,6 +162,38 @@ def test_trainer_occupancy_updates(tmp_path):
     # after updates on an untrained-ish model some cells must have real
     # (non-inf) density estimates
     assert np.isfinite(np.asarray(tr.state.occ.density)).any()
+
+
+def test_trainer_occupancy_warmup(tmp_path):
+    """Culling must NOT engage before occ_warmup_steps (the grid would
+    lock in decisions from a near-random field) and must engage right
+    after, including across a checkpoint resume."""
+    from human_body_reconstruction_tpu.train.trainer import Trainer
+
+    cfg = cfg_lib.PipelineConfig(
+        hash=cfg_lib.HashConfig(num_levels=4, log2_table_size=10, n_min=4,
+                                n_max=64),
+        render=cfg_lib.RenderConfig(num_samples=16, occupancy=True,
+                                    occupancy_resolution=32),
+        train=cfg_lib.TrainConfig(ray_batch=256, update_rate=5,
+                                  occ_warmup_steps=8),
+    )
+    ds = synthetic.make_dataset(n_views=3, H=24, W=24)
+    tr = Trainer(cfg=cfg, ds=ds, out_dir=str(tmp_path), model_name="w",
+                 log_fn=lambda s: None)
+    assert tr.state.occ is None and tr._occ_pending is not None
+    tr.run(5, log_every=0)
+    assert tr.state.occ is None          # still warming up
+    tr.run(6, log_every=0)
+    assert tr.state.occ is not None      # engaged at step 8
+    tr.save()
+
+    tr2 = Trainer(cfg=cfg, ds=ds, out_dir=str(tmp_path), model_name="w",
+                  log_fn=lambda s: None)
+    assert tr2.state.occ is None
+    tr2.load()
+    assert tr2.state.occ is not None     # grid restored despite warmup
+    assert tr2._occ_pending is None
 
 
 def test_cli_synthetic_smoke(tmp_path):

@@ -71,15 +71,25 @@ def sample_pdf(key, bins, weights, num_samples: int, *,
         u = jax.random.uniform(key, cdf.shape[:-1] + (num_samples,),
                                maxval=1.0 - 1e-6)
 
-    # searchsorted per ray (vmappable; cdf is sorted along the last axis).
-    idx = jnp.sum(u[..., None, :] >= cdf[..., :, None], axis=-2)
-    below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
-    above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
-
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, jnp.clip(below, 0, bins.shape[-1] - 1), axis=-1)
-    bins_above = jnp.take_along_axis(bins, jnp.clip(above, 0, bins.shape[-1] - 1), axis=-1)
+    # Gather-free inverse CDF: random per-(ray, sample) picks pay one
+    # ~4 KB memory tile EACH on TPU (docs/PERF_NOTES.md), so instead of
+    # searchsorted + 4x take_along_axis we compute each picked value as
+    # a masked reduction over the (small) bin axis — XLA fuses the
+    # broadcast-compare-select-reduce into streaming vector code.  Exact
+    # because cdf is strictly increasing (the eps floor keeps every pdf
+    # entry positive) and bins are sorted: the masked max over
+    # {j : u >= cdf_j} IS cdf[searchsorted(u)-1], etc.  The below-set is
+    # never empty (cdf_0 = 0 <= u) and the above-set is never empty
+    # (u < 1 = cdf_last).
+    ge = u[..., None, :] >= cdf[..., :, None]          # (..., S, K)
+    cdf_col = cdf[..., :, None]
+    bins_col = bins[..., :, None]
+    neg = -jnp.inf
+    pos = jnp.inf
+    cdf_below = jnp.max(jnp.where(ge, cdf_col, neg), axis=-2)
+    cdf_above = jnp.min(jnp.where(ge, pos, cdf_col), axis=-2)
+    bins_below = jnp.max(jnp.where(ge, bins_col, neg), axis=-2)
+    bins_above = jnp.min(jnp.where(ge, pos, bins_col), axis=-2)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-8, 1.0, denom)

@@ -181,6 +181,36 @@ def test_textured_field_hard_scene():
     assert np.abs(np.diff(img, axis=0)).mean() > 0.01
 
 
+def test_sample_pdf_gather_free_matches_searchsorted_gathers():
+    """The masked-reduction inverse CDF must equal the classic
+    searchsorted + take_along_axis formulation exactly (same idx
+    semantics, strictly-increasing cdf)."""
+    key = jax.random.PRNGKey(4)
+    B, S, K = 64, 33, 16
+    bins = jnp.sort(jax.random.uniform(key, (B, S)), axis=-1)
+    w = jax.random.uniform(jax.random.fold_in(key, 1), (B, S - 1))
+    w = w * (w > 0.4)                      # plenty of zero bins
+    got = sampling.sample_pdf(jax.random.PRNGKey(7), bins, w, K)
+
+    # independent reference: the gather formulation
+    eps = 1e-5
+    wref = jnp.maximum(w, 0.0) + eps
+    pdf = wref / jnp.sum(wref, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+    u = jax.random.uniform(jax.random.PRNGKey(7), (B, K), maxval=1.0 - 1e-6)
+    idx = jnp.sum(u[..., None, :] >= cdf[..., :, None], axis=-2)
+    below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
+    above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_b = jnp.take_along_axis(bins, below, axis=-1)
+    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-8, 1.0, cdf_a - cdf_b)
+    ref = bins_b + (u - cdf_b) / denom * (bins_a - bins_b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
 def test_sample_pdf_statistics_match_brute_force_inverse_cdf():
     """sample_pdf's empirical distribution vs an independent numpy
     inverse-CDF of the same piecewise-constant pdf (VERDICT round-1 weak

@@ -167,6 +167,30 @@ def test_nerf2mesh_cli_normalization_roundtrip(tmp_path):
     assert os.path.getsize(mesh_out) > 500
 
 
+def test_nerf2mesh_cli_int8_dense_checkpoint(tmp_path):
+    """Checkpoints trained with the round-2 encoder formats (int8 packed
+    table + dense coarse levels) must export: the CLI restores the full
+    config (incl. dense_levels/pack_format) from <model>_config.json and
+    the params template must match the saved tree."""
+    from human_body_reconstruction_tpu.cli import nerf2mesh, train_hash
+
+    out = str(tmp_path / "run")
+    train_hash.main([
+        "--synthetic", "--steps", "150", "--num_batch", "1024",
+        "--num_samples", "16", "--hash_size", "12", "--max_res", "128",
+        "--num_levels", "8", "--features_per_level", "4",
+        "--stochastic", "--packed", "--pack_format", "int8",
+        "--dense_levels", "-1",
+        "--out_dir", out, "--log_every", "0", "--model_name", "i8"])
+    mesh_out = str(tmp_path / "i8.ply")
+    nerf2mesh.main([
+        "--ckpt_dir", out, "--model_name", "i8",
+        "--bound_pth", os.path.join(out, "bounds_model.npy"),
+        "--resolution", "40", "--iso", "1.0", "--cache", "",
+        "--out", mesh_out])
+    assert os.path.getsize(mesh_out) > 500
+
+
 def test_sdf_mesh_export(tmp_path):
     """SDF-mode checkpoints export a zero-level-set mesh (iso 0)."""
     import jax

@@ -104,6 +104,10 @@ def build_parser():
                         "gather/scatter); -1 picks D automatically")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the ray batch over all visible devices")
+    p.add_argument("--grad_level_subsample", action="store_true",
+                   help="with --grad_subsample + int8: also route each "
+                        "point's gradient to one random level (scaled Lx, "
+                        "unbiased) — one scatter contribution per point")
     p.add_argument("--grad_subsample", action="store_true",
                    help="with --packed: unbiased single-feature gradient "
                         "scatter (halves backward scatter volume)")
@@ -157,6 +161,7 @@ def make_config(args):
                         packed=args.packed,
                         pack_format=args.pack_format,
                         grad_subsample=args.grad_subsample,
+                        grad_level_subsample=args.grad_level_subsample,
                         hw_rng=args.hw_rng,
                         dense_levels=max(args.dense_levels, 0))
     if args.dense_levels < 0:

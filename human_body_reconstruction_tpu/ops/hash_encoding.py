@@ -411,16 +411,20 @@ def _stoch_int8_fwd_impl(table, x, mu, sigma, cfg, key):
 
 def _stoch_int8_fwd(table, x, mu, sigma, cfg, key):
     out, rows = _stoch_int8_fwd_impl(table, x, mu, sigma, cfg, key)
-    pick = None
+    pick = lsel = None
     if cfg.grad_subsample:
         F = table.shape[-1]
         pick = jax.random.randint(jax.random.fold_in(key, 1), rows.shape,
                                   0, F)
-    return out, (rows, pick, table.shape)
+    if cfg.grad_level_subsample:
+        L = table.shape[0]
+        lsel = jax.random.randint(jax.random.fold_in(key, 2),
+                                  (rows.shape[-1],), 0, L)
+    return out, (rows, pick, lsel, table.shape)
 
 
 def _stoch_int8_bwd(cfg, res, g):
-    rows, pick, tshape = res
+    rows, pick, lsel, tshape = res
     L, T, F = tshape
     glfn = _cotangent_to_lfn(g, L, F).astype(jnp.float32)        # (L, F, N)
     if cfg.grad_subsample:
@@ -430,6 +434,20 @@ def _stoch_int8_bwd(cfg, res, g):
         for f in range(F):
             g_sel = g_sel + glfn[:, f, :] * (pick == f)
         g_sel = g_sel * float(F)                                 # (L, N)
+        if lsel is not None:
+            # unbiased 1-of-L LEVEL subsampling on top: route L x the
+            # gradient of one randomly chosen level per point — the
+            # scatter shrinks to ONE contribution per point (scatter
+            # contributions are tile-priced like gathers, PERF_NOTES).
+            # Selection by masked reduction (no gathers).
+            onehot = (jnp.arange(L)[:, None] == lsel[None, :])   # (L, N)
+            g_pt = jnp.sum(g_sel * onehot, axis=0) * float(L)    # (N,)
+            rows_pt = jnp.sum(rows * onehot, axis=0)             # (N,)
+            pick_pt = jnp.sum(pick * onehot.astype(pick.dtype), axis=0)
+            flat_idx = rows_pt * F + pick_pt.astype(jnp.int32)
+            dflat = jnp.zeros((L * T * F,), jnp.float32)
+            dflat = dflat.at[flat_idx].add(g_pt)
+            return dflat.reshape(L, T, F), None, None, None, None
         flat_idx = rows * F + pick.astype(jnp.int32)
         dflat = jnp.zeros((L * T * F,), jnp.float32).at[flat_idx].add(g_sel)
         return dflat.reshape(L, T, F), None, None, None, None

@@ -71,6 +71,11 @@ class HashConfig:
     #     dequantised by a per-level dynamic scale — 4 features per
     #     lookup at F=4, halving lookups again vs bf16 pairs.
     pack_format: str = "bf16"
+    # With grad_subsample on the int8 path: ALSO route each point's
+    # gradient to one randomly chosen level (scaled L x, unbiased) —
+    # the backward scatter shrinks to one contribution per point.
+    # Higher gradient variance; quality-check before enabling.
+    grad_level_subsample: bool = False
 
     @property
     def table_size(self) -> int:

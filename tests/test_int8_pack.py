@@ -114,6 +114,40 @@ def test_int8_grad_subsample_unbiased():
     assert np.abs(diff).max() / denom < 0.25
 
 
+def test_int8_grad_level_subsample_unbiased():
+    """1-of-L level routing on top of 1-of-F: E[grad] == full grad and
+    each per-key gradient touches at most one bucket-feature per point."""
+    cfg_full = cfg_int8(grad_subsample=False)
+    cfg_sub = cfg_int8(grad_subsample=True, grad_level_subsample=True)
+    table = he.init_table(jax.random.PRNGKey(6), cfg_full)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (6, 3))
+
+    def f(tb, cfg, k):
+        out = he.hash_encode_stochastic_int8(tb, x, 0.0, 1.0, cfg, k)
+        return jnp.sum(out ** 2) / 2.0
+
+    g_full = np.asarray(jax.grad(
+        lambda tb: f(tb, cfg_full, jax.random.PRNGKey(8)))(table))
+    # sparsity: one (level, bucket, feature) contribution per point max
+    g1 = np.asarray(jax.grad(
+        lambda tb: f(tb, cfg_sub, jax.random.PRNGKey(9)))(table))
+    assert (g1 != 0).sum() <= x.shape[0]
+
+    acc = np.zeros_like(g_full)
+    R = 600
+    for r in range(R):
+        k = jax.random.PRNGKey(2000 + r)
+        gs = np.asarray(jax.grad(lambda tb: f(tb, cfg_sub, k))(table))
+        gf = np.asarray(jax.grad(lambda tb: f(tb, cfg_full, k))(table))
+        acc += gs - gf
+    diff = acc / R
+    denom = np.abs(g_full).max() + 1e-12
+    # higher-variance estimator -> looser expectation tolerance than the
+    # feature-only test, still clearly distinguishes a biased estimator
+    # (e.g. a missing L x scale would bias by ~(L-1)/L = 0.75)
+    assert np.abs(diff).max() / denom < 0.4
+
+
 def test_encode_dispatch_int8():
     cfg = cfg_int8()
     table = he.init_table(jax.random.PRNGKey(0), cfg)

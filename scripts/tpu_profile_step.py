@@ -248,6 +248,9 @@ def main():
                              occ_guided=True, occ_probes=64)
     h16 = C.HashConfig(stochastic_train=True, packed=True,
                        grad_subsample=True, hw_rng=True)
+    import dataclasses
+
+    cfg8_lvl = dataclasses.replace(cfg8, grad_level_subsample=True)
     for name, cfg in [
         ("steady_state(16/2 bf16)", C.PipelineConfig(
             hash=h16, render=rocc, train=C.TrainConfig(ray_batch=B))),
@@ -255,6 +258,8 @@ def main():
             hash=cfg8, render=rocc, train=C.TrainConfig(ray_batch=B))),
         ("guided64 int8_dense", C.PipelineConfig(
             hash=cfg8, render=rguided, train=C.TrainConfig(ray_batch=B))),
+        ("guided64 int8_dense lvl-sub", C.PipelineConfig(
+            hash=cfg8_lvl, render=rguided, train=C.TrainConfig(ray_batch=B))),
         ("guided64 16/2 bf16", C.PipelineConfig(
             hash=h16, render=rguided, train=C.TrainConfig(ray_batch=B))),
     ]:

@@ -49,7 +49,7 @@ def stratified_ts(key, batch_shape, near, far, num_samples: int,
 
 
 def sample_pdf(key, bins, weights, num_samples: int, *,
-               deterministic: bool = False, eps: float = 1e-5):
+               deterministic: bool = False, eps: float = 1e-5, u=None):
     """Inverse-CDF sampling of a piecewise-constant pdf (per ray).
 
     Args:
@@ -64,7 +64,10 @@ def sample_pdf(key, bins, weights, num_samples: int, *,
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
 
-    if deterministic:
+    if u is not None:                    # injectable for edge-case tests
+        u = jnp.broadcast_to(jnp.asarray(u),
+                             cdf.shape[:-1] + (num_samples,))
+    elif deterministic:
         u = jnp.linspace(0.0, 1.0 - 1e-6, num_samples)
         u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_samples,))
     else:
@@ -81,15 +84,22 @@ def sample_pdf(key, bins, weights, num_samples: int, *,
     # {j : u >= cdf_j} IS cdf[searchsorted(u)-1], etc.  The below-set is
     # never empty (cdf_0 = 0 <= u) and the above-set is never empty
     # (u < 1 = cdf_last).
+    # The below-set always contains j=0 (cdf_0 = 0 <= u).  The above-set
+    # can be EMPTY when floating-point cumsum leaves cdf[-1] slightly
+    # below u (~1e-7 events — but certain at millions of samples/step):
+    # clamp the empty-min's +inf to the last bin, mirroring the old
+    # formulation's index clip.
     ge = u[..., None, :] >= cdf[..., :, None]          # (..., S, K)
     cdf_col = cdf[..., :, None]
     bins_col = bins[..., :, None]
     neg = -jnp.inf
     pos = jnp.inf
     cdf_below = jnp.max(jnp.where(ge, cdf_col, neg), axis=-2)
-    cdf_above = jnp.min(jnp.where(ge, pos, cdf_col), axis=-2)
+    cdf_above = jnp.minimum(jnp.min(jnp.where(ge, pos, cdf_col), axis=-2),
+                            cdf[..., -1:])
     bins_below = jnp.max(jnp.where(ge, bins_col, neg), axis=-2)
-    bins_above = jnp.min(jnp.where(ge, pos, bins_col), axis=-2)
+    bins_above = jnp.minimum(jnp.min(jnp.where(ge, pos, bins_col), axis=-2),
+                             bins[..., -1:])
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-8, 1.0, denom)

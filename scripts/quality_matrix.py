@@ -17,6 +17,7 @@ Usage:
 import argparse
 import dataclasses
 import json
+import os
 import time
 
 import jax
@@ -107,12 +108,19 @@ def main():
     K = jnp.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
                     jnp.float32)
     poses = synthetic.orbit_poses(args.views + 1, radius=4.0, elevation=0.35)
-    print(f"rendering {args.views + 1} GT views at {H}x{W} ...", flush=True)
-    t0 = time.time()
-    imgs = np.stack([synthetic.render_gt_image(
-        H, W, K, poses[i], field=synthetic.textured_field,
-        num_samples=384) for i in range(args.views + 1)])
-    print(f"GT done in {time.time() - t0:.0f}s", flush=True)
+    cache = f"/tmp/qm_gt_{H}x{W}_{args.views}.npz"
+    if os.path.exists(cache):
+        imgs = np.load(cache)["imgs"]
+        print(f"GT loaded from {cache}", flush=True)
+    else:
+        print(f"rendering {args.views + 1} GT views at {H}x{W} ...",
+              flush=True)
+        t0 = time.time()
+        imgs = np.stack([synthetic.render_gt_image(
+            H, W, K, poses[i], field=synthetic.textured_field,
+            num_samples=384) for i in range(args.views + 1)])
+        np.savez_compressed(cache, imgs=imgs)
+        print(f"GT done in {time.time() - t0:.0f}s", flush=True)
     train_imgs = jnp.asarray(imgs[:args.views])
     train_poses = jnp.asarray(poses[:args.views])
     hold_img = imgs[args.views]

@@ -211,6 +211,27 @@ def test_sample_pdf_gather_free_matches_searchsorted_gathers():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
+def test_sample_pdf_u_above_cdf_last_stays_finite():
+    """Regression: when float cumsum leaves cdf[-1] slightly below u the
+    above-set is empty; the masked min must clamp to the last bin, not
+    +inf (caused NaN params on TPU within ~100 training steps —
+    /tmp/qm packed_guided run, round 2)."""
+    bins = jnp.asarray(np.linspace(2.0, 6.0, 9), jnp.float32)
+    w = jnp.full((4, 8), 1.0, jnp.float32)
+    # inject u ABOVE any representable cdf[-1]
+    t = sampling.sample_pdf(jax.random.PRNGKey(0),
+                            jnp.broadcast_to(bins, (4, 9)), w, 5,
+                            u=1.0 + 1e-6)
+    t = np.asarray(t)
+    assert np.isfinite(t).all()
+    np.testing.assert_allclose(t, 6.0, atol=1e-5)   # clamped to last bin
+    # and u slightly below 1 still interpolates inside the ladder
+    t2 = np.asarray(sampling.sample_pdf(
+        jax.random.PRNGKey(0), jnp.broadcast_to(bins, (4, 9)), w, 5,
+        u=0.999999))
+    assert np.isfinite(t2).all() and (t2 <= 6.0 + 1e-5).all()
+
+
 def test_sample_pdf_statistics_match_brute_force_inverse_cdf():
     """sample_pdf's empirical distribution vs an independent numpy
     inverse-CDF of the same piecewise-constant pdf (VERDICT round-1 weak

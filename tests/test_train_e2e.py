@@ -163,6 +163,32 @@ def test_training_is_deterministic(dataset):
     np.testing.assert_array_equal(run(), run())
 
 
+def test_trainer_warmup_guided_explore_composition(tmp_path):
+    """Trainer path with occupancy warmup + guided placement +
+    exploration all composed: culling engages mid-run, training stays
+    finite and converges, eval render is sane."""
+    from human_body_reconstruction_tpu.train.trainer import Trainer
+
+    cfg = cfg_lib.PipelineConfig(
+        hash=cfg_lib.HashConfig(num_levels=6, log2_table_size=12, n_min=4,
+                                n_max=128, stochastic_train=True,
+                                packed=True),
+        render=cfg_lib.RenderConfig(num_samples=32, occupancy=True,
+                                    occupancy_resolution=32,
+                                    compact_samples=16, occ_guided=True,
+                                    occ_probes=16, occ_explore=0.05),
+        train=cfg_lib.TrainConfig(ray_batch=1024, update_rate=25,
+                                  occ_warmup_steps=60))
+    ds = synthetic.make_dataset(n_views=6, H=40, W=40)
+    tr = Trainer(cfg=cfg, ds=ds, out_dir=str(tmp_path), model_name="g",
+                 log_fn=lambda s: None)
+    assert tr.state.occ is None
+    tr.run(150, log_every=0)
+    assert tr.state.occ is not None
+    psnr = tr.eval_render(0, num_samples=64, write_png=False)
+    assert np.isfinite(psnr) and psnr > 20.0, psnr
+
+
 def test_sdf_mode_converges_on_sphere():
     """SDF-mode CONVERGENCE (round-2, VERDICT weak #5): training the
     NeuS-style branch on a solid-sphere scene must (a) reach a real

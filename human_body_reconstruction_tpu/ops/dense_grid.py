@@ -167,6 +167,12 @@ def dense_encode(grids, x, mu, sigma, cfg: HashConfig,
     nblk = xp.shape[0] // block
     xb = xp.reshape(nblk, block, 3)
 
+    # remat: without it the backward of the lax.map stores every block's
+    # (block, G^2) pair-weight intermediate — nblk * levels * ~60 MB
+    # blew past HBM at L=16/F=2/dense_levels=4 (measured 19.9 G of
+    # 15.75 G at compile).  Recomputing the two-hot weights is a few
+    # vector ops per block; the matmul chain is what backward needs.
+    @jax.checkpoint
     def per_block(pts):
         outs = [_level_block(pts, grids[l], float(scales[l]), compute_dtype)
                 for l in range(len(grids))]

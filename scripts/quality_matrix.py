@@ -76,6 +76,10 @@ def make_modes(C, dense_grid):
             hash=int8,
             render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
                                   occ_guided=True, occ_probes=64)),
+        "int8_dense_guided_lvl": C.PipelineConfig(
+            hash=dataclasses.replace(int8, grad_level_subsample=True),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64)),
     }
 
 

@@ -143,7 +143,7 @@ def build_parser():
     p.add_argument("--synthetic", action="store_true",
                    help="procedural demo scene instead of a dataset dir")
     p.add_argument("--synthetic_subject", type=str, default="blobs",
-                   choices=["blobs", "human"],
+                   choices=["blobs", "human", "textured"],
                    help="procedural subject for --synthetic")
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -195,6 +195,14 @@ def load_dataset(args):
     from human_body_reconstruction_tpu.data import datasets, synthetic
 
     if args.synthetic or args.data_path == "synthetic":
+        if args.synthetic_subject == "textured":
+            # the HARD benchmark scene (thin shell + rods, 3-octave
+            # albedo); resolution chosen so texture wavelengths land at
+            # ~6-13 px (quality_matrix protocol)
+            return synthetic.make_dataset(
+                n_views=20, H=400, W=400, focal=440.0, near=args.near,
+                far=args.far, field=synthetic.textured_field,
+                radius=4.0, elevation=0.35, gt_samples=384), None
         if args.synthetic_subject == "human":
             # closer orbit + longer focal so the 1.6-unit figure fills
             # the frame

@@ -177,7 +177,7 @@ def render_gt_image(H: int, W: int, K, c2w, field=blob_field,
 def make_dataset(n_views: int = 8, H: int = 48, W: int = 48,
                  focal: float = 55.0, near: float = 2.0, far: float = 6.0,
                  field=blob_field, radius: float = 4.0,
-                 elevation: float = 0.5):
+                 elevation: float = 0.5, gt_samples: int = 0):
     """Full tiny synthetic dataset: images + poses + intrinsics.
 
     ``field`` selects the subject: :func:`blob_field` (default, smooth)
@@ -186,8 +186,10 @@ def make_dataset(n_views: int = 8, H: int = 48, W: int = 48,
     K = jnp.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
                     jnp.float32)
     c2ws = orbit_poses(n_views, radius=radius, elevation=elevation)
+    kw = {"num_samples": gt_samples} if gt_samples else {}
     images = np.stack([
-        render_gt_image(H, W, K, c2ws[k], field=field, near=near, far=far)
+        render_gt_image(H, W, K, c2ws[k], field=field, near=near, far=far,
+                        **kw)
         for k in range(n_views)])
     return {"images": jnp.asarray(images), "c2ws": jnp.asarray(c2ws),
             "K": K, "H": H, "W": W, "near": near, "far": far}

@@ -253,6 +253,82 @@ def hash_encode(table, x, mu, sigma, cfg: HashConfig):
     return _features_to_out(acc)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def hash_encode_packed_exact(table, x, mu, sigma, cfg: HashConfig):
+    """EXACT 8-corner trilerp with PACKED word reads: one uint32 per
+    (corner, level) fetches all F features — F x fewer tile-priced
+    lookups than :func:`hash_encode` (the fp32 exact path does F
+    separate takes per corner).  Eval-only (no VJP): features are
+    bf16-rounded (F=2) or int8-quantised (F<=4), i.e. exactly the
+    values the packed/int8 stochastic TRAINING forward reads, so
+    evaluating a packed-trained model this way is arguably more
+    faithful than reading the fp32 master table.  Measured need: the
+    256^3 mesh sweep of an int8-trained field spent ~17 min in the
+    32-takes-per-corner exact path (docs/PERF_NOTES.md round 2).
+    """
+    L, T, F = table.shape
+    dim = cfg.dim
+    N = x.shape[0]
+    if cfg.pack_format == "int8":
+        words_tbl, scale = pack_table_int8(table)
+        unpack = lambda w, f: _unpack_int8(w, f, scale[:, None])
+    else:
+        words_tbl = pack_table_bf16(table)
+        unpack = _unpack_bf16
+    x0, frac = _level_coords(x, mu, sigma, cfg)
+    offsets = _corner_offsets(dim)                               # (C, dim)
+    level_offsets = jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T)
+
+    acc = [jnp.zeros((L, N), jnp.float32) for _ in range(F)]
+    for c in range(2 ** dim):
+        off = offsets[c]
+        coord = (x0 + jnp.asarray(off[:, None, None])).astype(jnp.uint32)
+        idx = _hash_levels(coord, cfg)                           # (L, N)
+        rows = (idx + level_offsets[:, None]).astype(jnp.int32)
+        words = jnp.take(words_tbl, rows)                        # (L, N)
+        w = jnp.ones((L, N), jnp.float32)
+        for d in range(dim):
+            w = w * (frac[d] if off[d] else (1.0 - frac[d]))
+        for f in range(F):
+            acc[f] = acc[f] + unpack(words, f) * w
+    return _features_to_out(acc).astype(table.dtype)
+
+
+def _packed_exact_fwd(table, x, mu, sigma, cfg):
+    return (hash_encode_packed_exact(table, x, mu, sigma, cfg),
+            (table.shape, x, mu, sigma))
+
+
+def _packed_exact_bwd(cfg, res, g):
+    """Exact trilerp table-gradient (straight-through past the
+    quantisation, as in the stochastic training paths): per corner,
+    scatter w * g into the corner's F slots.  Only runs when someone
+    differentiates the exact path (e.g. SDF eikonal finite differences
+    with a packed config) — eval renders never reach it."""
+    tshape, x, mu, sigma = res
+    L, T, F = tshape
+    glfn = _cotangent_to_lfn(g, L, F).astype(jnp.float32)        # (L, F, N)
+    x0, frac = _level_coords(x, mu, sigma, cfg)
+    offsets = _corner_offsets(cfg.dim)
+    level_offsets = jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T)
+    dflat = jnp.zeros((L * T * F,), jnp.float32)
+    for c in range(2 ** cfg.dim):
+        off = offsets[c]
+        coord = (x0 + jnp.asarray(off[:, None, None])).astype(jnp.uint32)
+        idx = _hash_levels(coord, cfg)
+        base = ((idx + level_offsets[:, None])
+                * jnp.uint32(F)).astype(jnp.int32)
+        w = jnp.ones(idx.shape, jnp.float32)
+        for d in range(cfg.dim):
+            w = w * (frac[d] if off[d] else (1.0 - frac[d]))
+        for f in range(F):
+            dflat = dflat.at[base + f].add(w * glfn[:, f, :])
+    return dflat.reshape(L, T, F), None, None, None
+
+
+hash_encode_packed_exact.defvjp(_packed_exact_fwd, _packed_exact_bwd)
+
+
 def pack_table_bf16(table):
     """(L, T, 2) fp32 table -> (L*T,) uint32 of packed bf16 pairs.
 
@@ -481,6 +557,12 @@ def encode(table, x, mu, sigma, cfg: HashConfig, key=None,
             return hash_encode_stochastic_packed(table, x, mu, sigma, cfg,
                                                  key)
         return hash_encode_stochastic(table, x, mu, sigma, cfg, key)
+    if (cfg.packed and cfg.packed_eval and cfg.stochastic_train
+            and (cfg.pack_format == "int8" or cfg.features_per_level == 2)):
+        # eval-only by construction (training goes through the
+        # stochastic custom-VJP paths above); packed_exact has no VJP —
+        # its word unpacking is bit arithmetic
+        return hash_encode_packed_exact(table, x, mu, sigma, cfg)
     return hash_encode(table, x, mu, sigma, cfg)
 
 

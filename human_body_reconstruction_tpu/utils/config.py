@@ -76,6 +76,13 @@ class HashConfig:
     # the backward scatter shrinks to one contribution per point.
     # Higher gradient variance; quality-check before enabling.
     grad_level_subsample: bool = False
+    # With `packed`: evaluate the EXACT (non-stochastic) path via packed
+    # word reads too — one lookup per (corner, level) instead of F.
+    # Features are then bf16/int8-rounded exactly as the training
+    # forward reads them (the faithful read for a packed-trained model);
+    # F x faster eval renders and mesh sweeps.  Set False to read the
+    # fp32 master table instead.
+    packed_eval: bool = True
 
     @property
     def table_size(self) -> int:

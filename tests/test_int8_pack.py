@@ -148,6 +148,55 @@ def test_int8_grad_level_subsample_unbiased():
     assert np.abs(diff).max() / denom < 0.4
 
 
+def test_packed_exact_matches_fp32_exact():
+    """Packed-word exact trilerp == fp32 exact trilerp up to the word
+    format's quantisation, for both bf16 pairs and int8 quads; the VJP
+    (linear loss, so values cancel) matches the fp32 path's exactly."""
+    from human_body_reconstruction_tpu.utils.config import HashConfig
+
+    for fmt, F, tol in (("bf16", 2, 1e-2), ("int8", 4, 2e-2)):
+        cfg = HashConfig(num_levels=4, features_per_level=F,
+                         log2_table_size=8, n_min=4, n_max=32,
+                         packed=True, pack_format=fmt)
+        table = he.init_table(jax.random.PRNGKey(1), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+        exact = np.asarray(he.hash_encode(table, x, 0.0, 1.0, cfg))
+        packed = np.asarray(he.hash_encode_packed_exact(
+            table, x, 0.0, 1.0, cfg))
+        scale = np.abs(exact).max() + 1e-9
+        assert np.abs(packed - exact).max() / scale < tol, fmt
+
+        C = jax.random.normal(jax.random.PRNGKey(3),
+                              (64, cfg.num_levels * F))
+        g_ref = np.asarray(jax.grad(
+            lambda t: jnp.sum(he.hash_encode(t, x, 0.0, 1.0, cfg) * C))(
+                table))
+        g_pk = np.asarray(jax.grad(
+            lambda t: jnp.sum(he.hash_encode_packed_exact(
+                t, x, 0.0, 1.0, cfg) * C))(table))
+        np.testing.assert_allclose(g_pk, g_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_encode_dispatch_packed_eval():
+    """encode() routes the non-stochastic read of a stochastic-training
+    packed config through the packed-word exact path (and not when
+    packed_eval is off)."""
+    from human_body_reconstruction_tpu.utils.config import HashConfig
+    import dataclasses
+
+    cfg = cfg_int8(grad_subsample=False)          # stochastic_train=True
+    table = he.init_table(jax.random.PRNGKey(1), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (32, 3))
+    got = np.asarray(he.encode(table, x, 0.0, 1.0, cfg, stochastic=False))
+    want = np.asarray(he.hash_encode_packed_exact(table, x, 0.0, 1.0, cfg))
+    np.testing.assert_array_equal(got, want)
+    cfg_off = dataclasses.replace(cfg, packed_eval=False)
+    got_off = np.asarray(he.encode(table, x, 0.0, 1.0, cfg_off,
+                                   stochastic=False))
+    want_off = np.asarray(he.hash_encode(table, x, 0.0, 1.0, cfg_off))
+    np.testing.assert_array_equal(got_off, want_off)
+
+
 def test_encode_dispatch_int8():
     cfg = cfg_int8()
     table = he.init_table(jax.random.PRNGKey(0), cfg)

@@ -144,11 +144,12 @@ def main():
         results[name] = round(rate, 1)
         occ_fracs[name] = round(occ_frac, 3)
 
-    headline = max(results["steady_state"], results.get("int8_dense", 0.0),
-                   results.get("int8_dense_guided", 0.0))
+    candidates = ("steady_state", "int8_dense", "int8_dense_guided")
+    best = max((m for m in candidates if m in results), key=results.get)
+    headline = results[best]
     print(json.dumps({
         "metric": f"train_rays_per_sec_chip@{num_samples}samples"
-                  f"_steady_state_occ{occ_fracs['steady_state']:.2f}",
+                  f"_{best}_occ{occ_fracs[best]:.2f}",
         "value": headline,
         "unit": "rays/s",
         "vs_baseline": round(headline / 5e6, 4),

@@ -100,7 +100,7 @@ def _render_pass(params, scene, rays_o, rays_d, dir_norm, t,
         # empty-marked cell — wrongly-culled cells could never recover
         # (and the B*K lookups are tile-priced, docs/PERF_NOTES.md).
         mask = occupancy.lookup(occ, pts, scene["mu"], scene["sigma"])
-        if dt_override is None and 0 < K < S and not cfg.render.use_sdf:
+        if 0 < K < S and not cfg.render.use_sdf:
             # stable occupied-first order via top_k (cheaper than a full
             # argsort of S keys, scripts/tpu_profile_step.py); pts are
             # recomputed from the gathered t instead of gathering the

@@ -148,7 +148,11 @@ def occupancy_guided_ts(key, rays_o, rays_d, occ, mu, sigma, near, far,
         n_occ = jnp.sum(m, axis=-1, keepdims=True)                  # (B, 1)
         f = explore_frac
         c = (f / (1.0 - f)) * n_occ / jnp.maximum(M - n_occ, 1.0)
-        m = m + c
+        # floor the EMPTY intervals only — adding c everywhere would
+        # inflate the occupied mass too and undershoot the target
+        # fraction (and for a fully-occupied ray c is huge but m==1
+        # everywhere makes this a no-op, as it should be)
+        m = m + c * (1.0 - m)
     bins = near + jnp.arange(M + 1, dtype=jnp.float32) * h          # (M+1,)
     bins = jnp.broadcast_to(bins, m.shape[:-1] + (M + 1,))
     t = sample_pdf(key, bins, m, num_samples, deterministic=not jitter,

@@ -69,16 +69,20 @@ def save_train_state(path: str, state):
     save_pytree(path, (state.params, state.opt_state), extra=extra)
 
 
-def load_train_state(path: str, state):
+def load_train_state(path: str, state, allow_occ: bool = True):
+    """``allow_occ`` gates restoring a saved occupancy grid into an
+    occ-less template: True for the warmup-resume case (the grid must
+    come back even though warmup held it out of the template), False
+    when the caller's config has occupancy DISABLED — attaching the
+    saved grid there would silently cull through a frozen stale mask
+    that nothing ever updates."""
     (params, opt_state), extra = load_pytree(
         path, (state.params, state.opt_state),
         extra_keys=("step", "occ_density", "occ_mask", "occ_threshold"))
     import jax.numpy as jnp
 
     occ = state.occ
-    if "occ_density" in extra:
-        # restore even into an occ-less template: a resume that lands
-        # past the occupancy warmup must come back WITH its grid
+    if "occ_density" in extra and (allow_occ or occ is not None):
         from human_body_reconstruction_tpu.ops.occupancy import OccupancyGrid
 
         occ = OccupancyGrid(density=jnp.asarray(extra["occ_density"]),

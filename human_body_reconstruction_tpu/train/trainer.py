@@ -142,8 +142,9 @@ class Trainer:
             self.out_dir, f"{self.model_name}_config.json"))
 
     def load(self, path: Optional[str] = None):
-        self.state = ckpt_lib.load_train_state(path or self.ckpt_path(),
-                                               self.state)
+        self.state = ckpt_lib.load_train_state(
+            path or self.ckpt_path(), self.state,
+            allow_occ=self.cfg.render.occupancy)
         if self.state.occ is not None:
             self._occ_pending = None   # resumed with a live grid
 
@@ -188,10 +189,8 @@ class Trainer:
         # host-side step counter: int(self.state.step) per iteration is a
         # device->host sync that serializes the step pipeline
         start_step = int(self.state.step)
-        if self._occ_pending is not None and (
-                start_step >= cfg.train.occ_warmup_steps):
-            self._install_occ(start_step)   # resumed past warmup
         for i in range(steps):
+            # also covers resume-past-warmup at i=0
             if self._occ_pending is not None and (
                     start_step + i >= cfg.train.occ_warmup_steps):
                 self._install_occ(start_step + i)

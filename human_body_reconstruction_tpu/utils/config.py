@@ -84,6 +84,15 @@ class HashConfig:
     # fp32 master table instead.
     packed_eval: bool = True
 
+    def __post_init__(self):
+        if self.grad_level_subsample and not (
+                self.grad_subsample and self.pack_format == "int8"
+                and self.packed):
+            raise ValueError(
+                "grad_level_subsample requires packed int8 with "
+                "grad_subsample (it extends the 1-of-F routing to "
+                "1-of-(L,F)); without them it would silently do nothing")
+
     @property
     def table_size(self) -> int:
         return 2 ** self.log2_table_size

@@ -195,6 +195,17 @@ def test_trainer_occupancy_warmup(tmp_path):
     assert tr2.state.occ is not None     # grid restored despite warmup
     assert tr2._occ_pending is None
 
+    # resuming the same checkpoint with occupancy DISABLED must NOT
+    # attach the saved grid (it would cull through a frozen stale mask
+    # that nothing updates)
+    import dataclasses
+    cfg_off = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, occupancy=False))
+    tr3 = Trainer(cfg=cfg_off, ds=ds, out_dir=str(tmp_path),
+                  model_name="w", log_fn=lambda s: None)
+    tr3.load()
+    assert tr3.state.occ is None
+
 
 def test_cli_synthetic_smoke(tmp_path):
     from human_body_reconstruction_tpu.cli import train_hash

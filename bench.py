@@ -20,6 +20,9 @@ cannot be mistaken for the reference-semantics speed:
                    occupancy compaction (fewest lookups per sample)
   int8_dense_guided  int8_dense with occupancy-GUIDED inverse-CDF
                    sample placement (64 probes, no top-K compact block)
+  int8_dense_guided_k32  guided placement with a 32-sample budget —
+                   the quality matrix shows 32 guided samples match 48
+                   on holdout PSNR at the same wall-clock
 
 Every mode trains the same 32-dim encoding at reference scale
 (T=2**16, N_max=2048) and 128 samples/ray.
@@ -135,6 +138,14 @@ def main():
             render=dataclasses.replace(render_occ, occ_guided=True,
                                        occ_probes=64),
             train=C.TrainConfig(ray_batch=32768)), 32768, 20),
+        # K-budget tuning (quality matrix: 32 guided samples match the
+        # 48-sample holdout PSNR at the same wall-clock — placement
+        # resolution, not sample count, is the quality lever here)
+        "int8_dense_guided_k32": (C.PipelineConfig(
+            hash=int8_hash,
+            render=dataclasses.replace(render_occ, occ_guided=True,
+                                       occ_probes=64, compact_samples=32),
+            train=C.TrainConfig(ray_batch=32768)), 32768, 20),
     }
 
     results = {}
@@ -144,7 +155,8 @@ def main():
         results[name] = round(rate, 1)
         occ_fracs[name] = round(occ_frac, 3)
 
-    candidates = ("steady_state", "int8_dense", "int8_dense_guided")
+    candidates = ("steady_state", "int8_dense", "int8_dense_guided",
+                  "int8_dense_guided_k32")
     best = max((m for m in candidates if m in results), key=results.get)
     headline = results[best]
     print(json.dumps({

@@ -80,6 +80,12 @@ def make_modes(C, dense_grid):
             hash=dataclasses.replace(int8, grad_level_subsample=True),
             render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
                                   occ_guided=True, occ_probes=64)),
+        # K-budget tuning (round-2 next-step 1): fewer guided samples per
+        # ray trade lookup count against placement resolution.
+        "int8_dense_guided_k32": C.PipelineConfig(
+            hash=int8,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64)),
     }
 
 

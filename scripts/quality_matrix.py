@@ -86,6 +86,19 @@ def make_modes(C, dense_grid):
             hash=int8,
             render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
                                   occ_guided=True, occ_probes=64)),
+        "int8_dense_guided_k24": C.PipelineConfig(
+            hash=int8,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=24,
+                                  occ_guided=True, occ_probes=64)),
+        "int8_dense_guided_k16": C.PipelineConfig(
+            hash=int8,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=16,
+                                  occ_guided=True, occ_probes=64)),
+        # does finer placement resolution buy quality at a small budget?
+        "int8_dense_guided_k32_p128": C.PipelineConfig(
+            hash=int8,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=128)),
     }
 
 

@@ -132,6 +132,11 @@ def build_parser():
                    help="with --occ_guided: probe-interval count "
                         "(0 = --num_samples); fewer probes cut the "
                         "per-step occupancy-lookup cost")
+    p.add_argument("--occ_probe_jitter", action="store_true",
+                   help="with --occ_guided: randomise each probe's "
+                        "position within its interval per step (fixed "
+                        "midpoints repeat the same classification "
+                        "misses every step)")
     p.add_argument("--normalization", type=str, default="diagonal",
                    choices=["diagonal", "unit_box"],
                    help="scene->hash normalisation: reference 'diagonal' "
@@ -180,6 +185,7 @@ def make_config(args):
             white_background=args.white_bg, occupancy=args.occupancy,
             compact_samples=args.compact, occ_guided=args.occ_guided,
             occ_probes=args.occ_probes, occ_explore=args.occ_explore,
+            occ_probe_jitter=args.occ_probe_jitter,
             normalization=args.normalization),
         train=C.TrainConfig(
             num_epochs=args.num_epochs, ray_batch=args.num_batch,

@@ -166,7 +166,8 @@ def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
             k_strat, rays_o, rays_d, occ, scene["mu"], scene["sigma"],
             cfg.render.near, cfg.render.far, K_s,
             num_probe=cfg.render.occ_probes or S,
-            explore_frac=cfg.render.occ_explore)
+            explore_frac=cfg.render.occ_explore,
+            probe_jitter=cfg.render.occ_probe_jitter)
     else:
         t = sampling.stratified_ts(
             k_strat, (B,), cfg.render.near, cfg.render.far, S,

@@ -110,7 +110,8 @@ def sample_pdf(key, bins, weights, num_samples: int, *,
 def occupancy_guided_ts(key, rays_o, rays_d, occ, mu, sigma, near, far,
                         num_samples: int, num_probe: int = 0,
                         eps: float = 1e-3, jitter: bool = True,
-                        explore_frac: float = 0.05):
+                        explore_frac: float = 0.05,
+                        probe_jitter: bool = False):
     """Occupancy-guided sample placement (NerfAcc-style, TPU-static).
 
     Replaces the fixed top-K truncation of ``compact_samples`` with
@@ -131,9 +132,22 @@ def occupancy_guided_ts(key, rays_o, rays_d, occ, mu, sigma, near, far,
     near = jnp.asarray(near, jnp.float32)
     far = jnp.asarray(far, jnp.float32)
     h = (far - near) / M
-    tm = near + (jnp.arange(M, dtype=jnp.float32) + 0.5) * h        # (M,)
-    pts = (rays_o[:, None, :]
-           + rays_d[:, None, :] * tm[None, :, None])                # (B, M, 3)
+    if probe_jitter:
+        # Each interval is classified by ONE point lookup; a fixed
+        # midpoint repeats the same misclassification (thin structure
+        # the midpoint misses) every step.  Randomising the probe point
+        # within its interval per ray per step makes an interval with
+        # occupied fraction p be classified occupied with probability
+        # ~p, decorrelating the errors across steps.
+        kp, key = jax.random.split(key)
+        u = jax.random.uniform(kp, rays_o.shape[:-1] + (M,))        # (B, M)
+        tm = near + (jnp.arange(M, dtype=jnp.float32) + u) * h      # (B, M)
+        pts = (rays_o[:, None, :]
+               + rays_d[:, None, :] * tm[..., None])                # (B, M, 3)
+    else:
+        tm = near + (jnp.arange(M, dtype=jnp.float32) + 0.5) * h    # (M,)
+        pts = (rays_o[:, None, :]
+               + rays_d[:, None, :] * tm[None, :, None])            # (B, M, 3)
     from human_body_reconstruction_tpu.ops import occupancy as occ_lib
 
     m = occ_lib.lookup(occ, pts, mu, sigma)                         # (B, M)

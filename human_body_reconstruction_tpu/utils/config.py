@@ -211,6 +211,12 @@ class RenderConfig:
     # EMPTY-marked intervals so wrongly-culled cells keep training and
     # can recover (ops/sampling.py occupancy_guided_ts exploration floor).
     occ_explore: float = 0.05
+    # With occ_guided: randomise each probe's position within its
+    # interval per ray per step instead of probing the fixed midpoint —
+    # decorrelates interval-classification errors across steps (a fixed
+    # ladder repeats the same misses every step; measured convergence
+    # inversion at 128 probes, docs/PERF_NOTES.md).
+    occ_probe_jitter: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -280,3 +280,63 @@ def test_hierarchical_ts_bin_convention_documented_shift():
     # 4 fine samples land in the bin + 2 coarse endpoints of 8 coarse
     expect = (4 + 2) / (S + 4)
     assert abs(frac_in - expect) < 0.03, (frac_in, expect)
+
+
+def test_probe_jitter_invariants():
+    """probe_jitter keeps every guided-placement invariant: sorted t in
+    range, dt positive and bounded by the probe interval."""
+    occ = _grid_with_occupied_band()
+    B, K, M = 32, 16, 64
+    rays_o = jnp.tile(jnp.asarray([[0.5, 0.5, 0.0]]), (B, 1))
+    rays_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (B, 1))
+    t, dt = sampling.occupancy_guided_ts(
+        jax.random.PRNGKey(5), rays_o, rays_d, occ, 0.0, 1.0,
+        near=0.0, far=1.0, num_samples=K, num_probe=M, probe_jitter=True)
+    t, dt = np.asarray(t), np.asarray(dt)
+    assert t.shape == (B, K)
+    assert (np.diff(t, axis=-1) >= -1e-6).all()
+    assert (t >= 0.0).all() and (t <= 1.0).all()
+    assert (dt >= 0).all() and (dt <= 1.0 / M + 1e-6).all()
+    # samples still concentrate in the occupied band
+    assert ((t >= 0.39) & (t <= 0.61)).mean() > 0.9
+
+
+def test_probe_jitter_finds_sub_interval_structure_midpoints_miss():
+    """A thin occupied slab that every FIXED probe midpoint misses gets
+    zero guided samples (the convergence-inversion failure mode,
+    docs/PERF_NOTES.md); per-step probe jitter classifies the interval
+    occupied with probability ~= its occupied fraction, so samples reach
+    the slab."""
+    g = 64
+    mask = np.zeros((g, g, g), np.float32)
+    zs = (np.arange(g) + 0.5) / g
+    mask[:, :, (zs >= 0.2) & (zs < 0.4)] = 1.0     # wide band: probed fine
+    mask[:, :, (zs >= 0.69) & (zs < 0.71)] = 1.0   # thin slab
+    occ = occupancy.OccupancyGrid(density=jnp.asarray(mask),
+                                  mask=jnp.asarray(mask),
+                                  threshold=jnp.asarray(0.5))
+    # effective occupied z (cell-quantised): [0.203125, 0.40625) and
+    # [0.6875, 0.71875).  With M=16 probes (h=0.0625) the slab lies in
+    # interval 11 = [0.6875, 0.75) whose midpoint 0.71875 maps to an
+    # EMPTY cell -> the fixed ladder never samples it.
+    B, K, M = 256, 16, 16
+    rays_o = jnp.tile(jnp.asarray([[0.5, 0.5, 0.0]]), (B, 1))
+    rays_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (B, 1))
+    slab = lambda t: (t >= 0.6875) & (t < 0.71875)
+
+    t_fixed, _ = sampling.occupancy_guided_ts(
+        jax.random.PRNGKey(0), rays_o, rays_d, occ, 0.0, 1.0,
+        near=0.0, far=1.0, num_samples=K, num_probe=M,
+        explore_frac=0.0, probe_jitter=False)
+    assert slab(np.asarray(t_fixed)).mean() < 0.005
+
+    fracs = []
+    for s in range(8):
+        t_j, _ = sampling.occupancy_guided_ts(
+            jax.random.PRNGKey(s), rays_o, rays_d, occ, 0.0, 1.0,
+            near=0.0, far=1.0, num_samples=K, num_probe=M,
+            explore_frac=0.0, probe_jitter=True)
+        fracs.append(slab(np.asarray(t_j)).mean())
+    # expected ~6%: P(interval classified occupied) ~ 0.5, mass share
+    # ~ 1/4 of occupied intervals, ~half the interval is slab
+    assert np.mean(fracs) > 0.02, fracs

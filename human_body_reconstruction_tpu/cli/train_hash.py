@@ -137,6 +137,12 @@ def build_parser():
                         "position within its interval per step (fixed "
                         "midpoints repeat the same classification "
                         "misses every step)")
+    p.add_argument("--occ_dt", type=str, default="clip",
+                   choices=["clip", "mass"],
+                   help="with --occ_guided: dt estimator — 'clip' at "
+                        "probe-interval ends (biased low when samples "
+                        "are sparser than probe intervals) or 'mass' "
+                        "(unbiased importance weights)")
     p.add_argument("--normalization", type=str, default="diagonal",
                    choices=["diagonal", "unit_box"],
                    help="scene->hash normalisation: reference 'diagonal' "
@@ -185,7 +191,7 @@ def make_config(args):
             white_background=args.white_bg, occupancy=args.occupancy,
             compact_samples=args.compact, occ_guided=args.occ_guided,
             occ_probes=args.occ_probes, occ_explore=args.occ_explore,
-            occ_probe_jitter=args.occ_probe_jitter,
+            occ_probe_jitter=args.occ_probe_jitter, occ_dt=args.occ_dt,
             normalization=args.normalization),
         train=C.TrainConfig(
             num_epochs=args.num_epochs, ray_batch=args.num_batch,

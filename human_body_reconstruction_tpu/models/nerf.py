@@ -167,7 +167,8 @@ def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
             cfg.render.near, cfg.render.far, K_s,
             num_probe=cfg.render.occ_probes or S,
             explore_frac=cfg.render.occ_explore,
-            probe_jitter=cfg.render.occ_probe_jitter)
+            probe_jitter=cfg.render.occ_probe_jitter,
+            dt_mode=cfg.render.occ_dt)
     else:
         t = sampling.stratified_ts(
             k_strat, (B,), cfg.render.near, cfg.render.far, S,

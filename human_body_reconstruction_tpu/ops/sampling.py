@@ -111,7 +111,8 @@ def occupancy_guided_ts(key, rays_o, rays_d, occ, mu, sigma, near, far,
                         num_samples: int, num_probe: int = 0,
                         eps: float = 1e-3, jitter: bool = True,
                         explore_frac: float = 0.05,
-                        probe_jitter: bool = False):
+                        probe_jitter: bool = False,
+                        dt_mode: str = "clip"):
     """Occupancy-guided sample placement (NerfAcc-style, TPU-static).
 
     Replaces the fixed top-K truncation of ``compact_samples`` with
@@ -124,9 +125,24 @@ def occupancy_guided_ts(key, rays_o, rays_d, occ, mu, sigma, near, far,
     rays fall back to uniform (their densities are masked to zero
     downstream anyway).
 
-    Returns (t (B, K) sorted, dt (B, K)) where dt is clipped at each
-    sample's probe-interval boundary so an occupied sample's density is
-    never integrated across the empty gap to the next sample.
+    Returns (t (B, K) sorted, dt (B, K)).  ``dt_mode``:
+
+      * ``"clip"``: dt runs to the next sample but is clipped at the
+        sample's probe-interval boundary, so an occupied sample's
+        density is never integrated across the empty gap to the next
+        sample.  BIASED LOW once samples are sparser than probe
+        intervals (the interval-end -> next-sample gap is dropped):
+        training-time optical depth is underestimated, the field
+        compensates with inflated density, and exact-ladder eval then
+        overshoots (measured: the 128-probe convergence inversion,
+        docs/PERF_NOTES.md).
+      * ``"mass"``: importance-weighted dt — each sample represents its
+        1/K share of the ray's placement mass, dt_i = h*W/(K*m_j(i))
+        with W the ray's total mass and m_j(i) the sample's interval
+        mass.  Unbiased Monte-Carlo estimator of the occupied-region
+        integral for any K/probe ratio; exploration samples (tiny bin
+        mass -> huge weight) are clipped to one interval width for
+        stability.
     """
     M = num_probe or 2 * num_samples
     near = jnp.asarray(near, jnp.float32)
@@ -172,8 +188,29 @@ def occupancy_guided_ts(key, rays_o, rays_d, occ, mu, sigma, near, far,
     t = sample_pdf(key, bins, m, num_samples, deterministic=not jitter,
                    eps=eps)
     t = jnp.sort(t, axis=-1)                                        # (B, K)
-    # clip dt at the containing probe interval's end
-    interval = jnp.floor((t - near) / h)
+    interval = jnp.floor((t - near) / h)                            # (B, K)
+    if dt_mode == "mass":
+        K = num_samples
+        W = jnp.sum(m, axis=-1, keepdims=True)                      # (B, 1)
+        # interval mass at each sample, gather-free: random (B, K)
+        # picks from (B, M) would each pay the ~4KB tile price
+        # (docs/PERF_NOTES.md); a one-hot broadcast-reduction is VPU
+        # work instead, same trick as sample_pdf's inverse CDF.
+        onehot = (interval[..., None]
+                  == jnp.arange(M, dtype=jnp.float32)[None, None, :])
+        m_t = jnp.sum(jnp.where(onehot, m[..., None, :], 0.0), axis=-1)
+        dt = h * W / (K * jnp.maximum(m_t, 1e-8))
+        # exploration samples land in tiny-mass bins -> huge IS weight;
+        # clip to one interval width (their job is recovery gradients,
+        # not unbiased empty-space integration).  Occupied bins have
+        # m_t == 1 so the headline path is untouched by the clip.
+        dt = jnp.where(m_t >= 1.0 - 1e-6, dt, jnp.minimum(dt, h))
+        # fully-empty ray: W == 0 (or eps-floored pdf) -> uniform dt;
+        # densities are masked downstream anyway
+        dt = jnp.where(W > 1e-6, dt, (far - near) / K)
+        return t, dt
+    # "clip": dt to the next sample, clipped at the containing probe
+    # interval's end
     interval_end = near + (interval + 1.0) * h
     t_next = jnp.concatenate(
         [t[..., 1:], jnp.broadcast_to(far, t[..., :1].shape)], axis=-1)

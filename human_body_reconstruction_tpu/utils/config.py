@@ -217,6 +217,12 @@ class RenderConfig:
     # ladder repeats the same misses every step; measured convergence
     # inversion at 128 probes, docs/PERF_NOTES.md).
     occ_probe_jitter: bool = False
+    # With occ_guided: dt estimator. "clip" runs dt to the next sample
+    # clipped at the probe-interval end (biased low when samples are
+    # sparser than probe intervals); "mass" is the unbiased
+    # importance-weighted estimator dt = h*W/(K*m) (ops/sampling.py
+    # occupancy_guided_ts docstring).
+    occ_dt: str = "clip"
 
 
 @dataclasses.dataclass(frozen=True)

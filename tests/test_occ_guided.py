@@ -340,3 +340,65 @@ def test_probe_jitter_finds_sub_interval_structure_midpoints_miss():
     # expected ~6%: P(interval classified occupied) ~ 0.5, mass share
     # ~ 1/4 of occupied intervals, ~half the interval is slab
     assert np.mean(fracs) > 0.02, fracs
+
+
+def test_mass_dt_unbiased_optical_depth_where_clip_underestimates():
+    """Constant density over an occupied band: sum(sigma*dt) must equal
+    sigma * band_length.  With samples much sparser than probe
+    intervals, 'clip' dt drops the interval-end -> next-sample gaps
+    (the 128-probe convergence-inversion mechanism, docs/PERF_NOTES.md)
+    while 'mass' dt is the exact importance-weighted estimator."""
+    occ = _grid_with_occupied_band(g=64, lo=0.2, hi=0.8)
+    B, K, M = 128, 8, 64                      # 8 samples over ~38 intervals
+    rays_o = jnp.tile(jnp.asarray([[0.5, 0.5, 0.0]]), (B, 1))
+    rays_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (B, 1))
+    # effective (cell-quantised) band: centres in [0.2, 0.8) -> z in
+    # [13/64, 51/64); probed at M=64 midpoints -> occupied intervals
+    # are those with midpoint in the band
+    h = 1.0 / M
+    mids = (np.arange(M) + 0.5) * h
+    cells = np.floor(mids * 64).astype(int)
+    zs = (cells + 0.5) / 64.0
+    n_occ = ((zs >= 0.2) & (zs < 0.8)).sum()
+    depth_true = 1.0 * n_occ * h              # sigma = 1 over the band
+
+    def total_depth(dt_mode):
+        t, dt = sampling.occupancy_guided_ts(
+            jax.random.PRNGKey(0), rays_o, rays_d, occ, 0.0, 1.0,
+            near=0.0, far=1.0, num_samples=K, num_probe=M,
+            explore_frac=0.0, dt_mode=dt_mode)
+        t, dt = np.asarray(t), np.asarray(dt)
+        sigma = ((t >= 13 / 64) & (t < 51 / 64)).astype(np.float32)
+        return (sigma * dt).sum(-1).mean()
+
+    got_mass = total_depth("mass")
+    got_clip = total_depth("clip")
+    np.testing.assert_allclose(got_mass, depth_true, rtol=0.05)
+    assert got_clip < 0.5 * depth_true, (got_clip, depth_true)
+
+
+def test_mass_dt_explore_and_empty_rays_stay_finite():
+    """mass dt with the exploration floor: explore samples' IS weight is
+    clipped to one interval; fully-empty rays fall back to uniform dt
+    with no NaN/inf."""
+    occ = _grid_with_occupied_band()
+    B, K, M = 16, 16, 64
+    rays_o = jnp.concatenate([
+        jnp.tile(jnp.asarray([[0.5, 0.5, 0.0]]), (B, 1)),   # through band
+        jnp.tile(jnp.asarray([[0.0, 0.5, 0.9]]), (B, 1)),   # never occupied
+    ])
+    rays_d = jnp.concatenate([
+        jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (B, 1)),
+        jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (B, 1)),
+    ])
+    t, dt = sampling.occupancy_guided_ts(
+        jax.random.PRNGKey(1), rays_o, rays_d, occ, 0.0, 1.0,
+        near=0.0, far=1.0, num_samples=K, num_probe=M,
+        explore_frac=0.05, dt_mode="mass")
+    t, dt = np.asarray(t), np.asarray(dt)
+    assert np.isfinite(t).all() and np.isfinite(dt).all()
+    assert (dt >= 0).all()
+    # occupied-bin dt is the flat IS weight h*W/K; empty-bin (explore)
+    # dt is clipped to <= h; empty rays get uniform (far-near)/K
+    assert (dt <= 1.0 / K + 1e-5).all()
+    np.testing.assert_allclose(dt[B:], 1.0 / K, atol=1e-5)

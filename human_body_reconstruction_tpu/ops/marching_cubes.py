@@ -57,48 +57,68 @@ def _load():
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
         ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
     ]
     lib.mc_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
 
-def marching_cubes(density: np.ndarray, iso: float
-                   ) -> Tuple[np.ndarray, np.ndarray]:
+def marching_cubes(density: np.ndarray, iso: float, return_keys: bool = False):
     """Extract the iso-surface of a (nx, ny, nz) float32 density grid.
 
     Returns (verts (V, 3) float32 in grid-index coordinates,
     faces (F, 3) int32) — same contract as torchmcubes.marching_cubes
-    (reference nerf2mesh.py:98).
+    (reference nerf2mesh.py:98).  With ``return_keys`` also returns the
+    (V,) int64 canonical grid-edge id of each vertex, which
+    ``weld_vertices`` uses for exact O(V log V) scalar dedup.
     """
     lib = _load()
     density = np.ascontiguousarray(density, np.float32)
     nx, ny, nz = density.shape
     verts_p = ctypes.POINTER(ctypes.c_float)()
     tris_p = ctypes.POINTER(ctypes.c_int32)()
+    keys_p = ctypes.POINTER(ctypes.c_int64)()
     nv = ctypes.c_int64()
     nt = ctypes.c_int64()
     rc = lib.mc_extract(
         density.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         nx, ny, nz, float(iso),
         ctypes.byref(verts_p), ctypes.byref(nv),
-        ctypes.byref(tris_p), ctypes.byref(nt))
+        ctypes.byref(tris_p), ctypes.byref(nt),
+        ctypes.byref(keys_p))
     if rc != 0:
         raise RuntimeError(f"mc_extract failed with code {rc}")
     try:
         verts = np.ctypeslib.as_array(verts_p, (nv.value, 3)).copy()
         faces = np.ctypeslib.as_array(tris_p, (nt.value, 3)).copy()
+        keys = np.ctypeslib.as_array(keys_p, (nv.value,)).copy()
     finally:
         lib.mc_free(verts_p)
         lib.mc_free(tris_p)
+        lib.mc_free(keys_p)
+    if return_keys:
+        return verts, faces, keys
     return verts, faces
 
 
-def weld_vertices(verts: np.ndarray, faces: np.ndarray, decimals: int = 5
+def weld_vertices(verts: np.ndarray, faces: np.ndarray, decimals: int = 5,
+                  keys: Optional[np.ndarray] = None
                   ) -> Tuple[np.ndarray, np.ndarray]:
-    """Merge duplicate vertices (the extractor emits per-triangle verts)."""
+    """Merge duplicate vertices (the extractor emits per-triangle verts).
+
+    With ``keys`` (the extractor's canonical edge ids, equal key <=>
+    bit-identical position) the dedup is a 1-D int64 unique — ~100x
+    faster at 256^3 than the positional row-unique fallback, which
+    lexsorts float triples (that np.unique(axis=0) dominated the old
+    397 s "marching" stage timing at 26M raw verts)."""
     if len(verts) == 0:
         return verts, faces
+    if keys is not None:
+        uniq_keys, first, inverse = np.unique(
+            keys, return_index=True, return_inverse=True)
+        return (verts[first].astype(np.float32),
+                inverse[faces].astype(np.int32))
     key = np.round(verts, decimals)
     uniq, inverse = np.unique(key, axis=0, return_inverse=True)
     return uniq.astype(np.float32), inverse[faces].astype(np.int32)

@@ -56,6 +56,28 @@ def test_weld_reduces_duplicates():
     assert wfaces.max() < len(wverts)
 
 
+def test_key_weld_matches_positional_weld():
+    """Edge-key welding (1-D int64 unique) must produce the same mesh as
+    the positional row-unique it replaces — same welded vertex set and
+    the same triangles as coordinate triples."""
+    g = sphere_grid(32, 0.35)
+    verts, faces, keys = mc.marching_cubes(g, 0.0, return_keys=True)
+    assert keys.shape == (len(verts),)
+    kv, kf = mc.weld_vertices(verts, faces, keys=keys)
+    pv, pf = mc.weld_vertices(verts, faces)
+    assert len(kv) == len(pv)
+    assert np.allclose(np.sort(kv.ravel()), np.sort(pv.ravel()), atol=1e-5)
+    # triangle multisets: compare sorted centroid coordinate lists
+    ck = np.sort(kv[kf].mean(axis=1).round(5).ravel())
+    cp = np.sort(pv[pf].mean(axis=1).round(5).ravel())
+    assert np.allclose(ck, cp, atol=1e-4)
+    # equal key <=> bit-identical position (exact-weld invariant)
+    order = np.argsort(keys, kind="stable")
+    sk, sv = keys[order], verts[order]
+    same = sk[1:] == sk[:-1]
+    assert np.array_equal(sv[1:][same], sv[:-1][same])
+
+
 def test_grid_interp_matches_manual_trilerp():
     rng = np.random.RandomState(0)
     g = rng.rand(5, 6, 7, 3).astype(np.float32)

@@ -113,6 +113,11 @@ def build_parser():
                         "scatter (halves backward scatter volume)")
     p.add_argument("--hw_rng", action="store_true",
                    help="TPU hardware PRNG for stochastic sampling")
+    p.add_argument("--scatter_strategy", type=str, default="random",
+                   choices=["random", "sorted", "segsum"],
+                   help="backward table-gradient scatter: plain random "
+                        "scatter-add, pre-sorted scatter, or sort + "
+                        "segment-sum (exact in all cases)")
     p.add_argument("--compact", type=int, default=0,
                    help="with --occupancy: keep only this many occupied "
                         "samples per ray (static compaction)")
@@ -174,6 +179,7 @@ def make_config(args):
                         grad_subsample=args.grad_subsample,
                         grad_level_subsample=args.grad_level_subsample,
                         hw_rng=args.hw_rng,
+                        scatter_strategy=args.scatter_strategy,
                         dense_levels=max(args.dense_levels, 0))
     if args.dense_levels < 0:
         from human_body_reconstruction_tpu.ops import dense_grid

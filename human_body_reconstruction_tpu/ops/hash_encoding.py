@@ -92,6 +92,47 @@ def _cotangent_to_lfn(g, L: int, F: int):
     return g.T.reshape(L, F, -1)
 
 
+def scatter_add_flat(size: int, idx, val, strategy: str = "random"):
+    """Sum ``val`` into ``zeros((size,))`` at positions ``idx``.
+
+    ``idx``/``val`` are flattened.  All strategies compute the same sums
+    (reassociated), so gradients are exact either way:
+
+      * ``random``: one ``.at[].add`` — every contribution pays the
+        ~4KB random-write tile (~77M contribs/s on v5e,
+        scripts/tpu_probe_r2.py),
+      * ``sorted``: ``lax.sort`` the (index, value) pairs, then scatter
+        with ``indices_are_sorted=True`` — trades the tile tax for a
+        bitonic sort,
+      * ``segsum``: sort, collapse duplicate-index runs with a sorted
+        segment sum, then ONE sorted scatter of unique indices (unused
+        run slots park at ``size - 1`` with value 0, keeping the final
+        index list sorted).
+
+    Pick by measurement: scripts/tpu_probe_scatter.py.
+    """
+    idx = idx.reshape(-1)
+    val = val.reshape(-1).astype(jnp.float32)
+    if strategy == "random":
+        return jnp.zeros((size,), jnp.float32).at[idx].add(val)
+    si, sv = jax.lax.sort((idx, val), num_keys=1)
+    if strategy == "sorted":
+        return jnp.zeros((size,), jnp.float32).at[si].add(
+            sv, indices_are_sorted=True)
+    if strategy != "segsum":
+        raise ValueError(f"unknown scatter strategy {strategy!r}")
+    n = si.shape[0]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), si[1:] != si[:-1]])
+    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1      # sorted
+    totals = jnp.zeros((n,), jnp.float32).at[run_id].add(
+        sv, indices_are_sorted=True)
+    out_idx = jnp.full((n,), size - 1, jnp.int32).at[run_id].min(
+        si, indices_are_sorted=True)
+    return jnp.zeros((size,), jnp.float32).at[out_idx].add(
+        totals, indices_are_sorted=True)
+
+
 def _corner_offsets(dim: int) -> np.ndarray:
     """(2**dim, dim) binary corner offsets; offset bit d of corner c is
     bit d of c (so corner 0 is the floor corner — the complement of the
@@ -422,9 +463,11 @@ def _stoch_packed_bwd(cfg, res, g):
         g_sel = 2.0 * (glfn[:, 0, :] * (1.0 - pick_f)
                        + glfn[:, 1, :] * pick_f)
         flat_idx = rows * F + pick.astype(jnp.int32)
-        dflat = jnp.zeros((L * T * F,), jnp.float32).at[flat_idx].add(g_sel)
+        dflat = scatter_add_flat(L * T * F, flat_idx, g_sel,
+                                 cfg.scatter_strategy)
         return dflat.reshape(L, T, F), None, None, None, None
-    flat = [jnp.zeros((L * T,), jnp.float32).at[rows].add(glfn[:, f, :])
+    flat = [scatter_add_flat(L * T, rows, glfn[:, f, :],
+                             cfg.scatter_strategy)
             for f in range(F)]
     dtable = jnp.stack(flat, axis=-1).reshape(L, T, F)
     return dtable, None, None, None, None
@@ -521,19 +564,27 @@ def _stoch_int8_bwd(cfg, res, g):
             rows_pt = jnp.sum(rows * onehot, axis=0)             # (N,)
             pick_pt = jnp.sum(pick * onehot.astype(pick.dtype), axis=0)
             flat_idx = rows_pt * F + pick_pt.astype(jnp.int32)
-            dflat = jnp.zeros((L * T * F,), jnp.float32)
-            dflat = dflat.at[flat_idx].add(g_pt)
+            dflat = scatter_add_flat(L * T * F, flat_idx, g_pt,
+                                     cfg.scatter_strategy)
             return dflat.reshape(L, T, F), None, None, None, None
         flat_idx = rows * F + pick.astype(jnp.int32)
-        dflat = jnp.zeros((L * T * F,), jnp.float32).at[flat_idx].add(g_sel)
+        dflat = scatter_add_flat(L * T * F, flat_idx, g_sel,
+                                 cfg.scatter_strategy)
         return dflat.reshape(L, T, F), None, None, None, None
     # scalar scatters per feature: measured FASTER than one (1, F)
     # row-window scatter on v5e (77M vs ~45M scalar-contributions/s,
     # scripts/tpu_probe_r2.py)
     base = rows * F
-    dflat = jnp.zeros((L * T * F,), jnp.float32)
-    for f in range(F):
-        dflat = dflat.at[base + f].add(glfn[:, f, :])
+    if cfg.scatter_strategy == "random":
+        dflat = jnp.zeros((L * T * F,), jnp.float32)
+        for f in range(F):
+            dflat = dflat.at[base + f].add(glfn[:, f, :])
+    else:
+        # one fused sort over ALL F features' contributions
+        idx = jnp.stack([(base + f).reshape(-1) for f in range(F)])
+        val = jnp.stack([glfn[:, f, :].reshape(-1) for f in range(F)])
+        dflat = scatter_add_flat(L * T * F, idx, val,
+                                 cfg.scatter_strategy)
     return dflat.reshape(L, T, F), None, None, None, None
 
 

@@ -83,6 +83,16 @@ class HashConfig:
     # F x faster eval renders and mesh sweeps.  Set False to read the
     # fp32 master table instead.
     packed_eval: bool = True
+    # Backward scatter-add strategy for the packed training paths:
+    #   "random": plain .at[].add — every contribution pays the ~4KB
+    #     random-write tile (measured ~77M contribs/s on v5e),
+    #   "sorted": lax.sort the (index, value) pairs first, then a
+    #     scatter with indices_are_sorted=True,
+    #   "segsum": sort, collapse duplicate-index runs with a sorted
+    #     segment sum, then ONE sorted scatter of unique indices.
+    # Pick by measurement (scripts/tpu_probe_scatter.py); exact in all
+    # cases (pure reassociation of the same sums).
+    scatter_strategy: str = "random"
 
     def __post_init__(self):
         if self.grad_level_subsample and not (
@@ -92,6 +102,10 @@ class HashConfig:
                 "grad_level_subsample requires packed int8 with "
                 "grad_subsample (it extends the 1-of-F routing to "
                 "1-of-(L,F)); without them it would silently do nothing")
+        if self.scatter_strategy not in ("random", "sorted", "segsum"):
+            raise ValueError(
+                f"unknown scatter_strategy {self.scatter_strategy!r}; "
+                "expected random | sorted | segsum")
 
     @property
     def table_size(self) -> int:

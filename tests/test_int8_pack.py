@@ -253,3 +253,49 @@ def test_end_to_end_train_step_int8_dense():
     # both encoder param groups moved
     assert np.abs(np.asarray(state.params["table"]) - table0).max() > 0
     assert np.abs(np.asarray(state.params["dense"][0]) - dense0).max() > 0
+
+
+def test_scatter_add_flat_strategies_exact():
+    """sorted / segsum are pure reassociations of the random scatter."""
+    key = jax.random.PRNGKey(0)
+    size = 257
+    idx = jax.random.randint(key, (2000,), 0, size, dtype=jnp.int32)
+    val = jax.random.normal(jax.random.PRNGKey(1), (2000,))
+    ref = np.asarray(he.scatter_add_flat(size, idx, val, "random"))
+    for strat in ("sorted", "segsum"):
+        got = np.asarray(he.scatter_add_flat(size, idx, val, strat))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # edge: every contribution on one bucket (single run spans the array)
+    one = jnp.zeros((64,), jnp.int32) + 5
+    v = jnp.ones((64,))
+    for strat in ("random", "sorted", "segsum"):
+        out = np.asarray(he.scatter_add_flat(size, one, v, strat))
+        assert out[5] == 64.0 and out.sum() == 64.0
+    # edge: contributions on the LAST bucket must not collide with the
+    # segsum tail parking slot (size - 1)
+    last = jnp.full((8,), size - 1, jnp.int32)
+    out = np.asarray(he.scatter_add_flat(size, last, v[:8], "segsum"))
+    assert out[size - 1] == 8.0
+
+
+def test_int8_grad_matches_across_scatter_strategies():
+    """End-to-end encoder VJP is identical for all scatter strategies."""
+    x = jax.random.uniform(jax.random.PRNGKey(4), (37, 3))
+    key = jax.random.PRNGKey(5)
+    grads = {}
+    for strat in ("random", "sorted", "segsum"):
+        for sub in (False, True):
+            cfg = cfg_int8(grad_subsample=sub, scatter_strategy=strat)
+            table = he.init_table(jax.random.PRNGKey(3), cfg)
+
+            def f(tb):
+                out = he.hash_encode_stochastic_int8(
+                    tb, x, 0.0, 1.0, cfg, key)
+                return jnp.sum(jnp.sin(out * 3.0))
+
+            grads[(strat, sub)] = np.asarray(jax.grad(f)(table))
+    for sub in (False, True):
+        for strat in ("sorted", "segsum"):
+            np.testing.assert_allclose(
+                grads[(strat, sub)], grads[("random", sub)],
+                rtol=1e-5, atol=1e-6)

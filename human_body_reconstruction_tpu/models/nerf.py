@@ -169,6 +169,12 @@ def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
             explore_frac=cfg.render.occ_explore,
             probe_jitter=cfg.render.occ_probe_jitter,
             dt_mode=cfg.render.occ_dt)
+        # Placement depends on (rays, occ grid) only — never on params —
+        # so cut it out of the differentiated graph explicitly
+        # (semantically a no-op; keeps the grad trace from ever touching
+        # the placement subgraph).
+        t = jax.lax.stop_gradient(t)
+        dt_guided = jax.lax.stop_gradient(dt_guided)
     else:
         t = sampling.stratified_ts(
             k_strat, (B,), cfg.render.near, cfg.render.far, S,

@@ -84,9 +84,14 @@ def density_rgb_grid(params, scene, cfg: PipelineConfig, *,
 
     total = R * R * R
     pad = (-total) % chunk
+    # dispatch EVERY chunk before collecting any: jit dispatch is async,
+    # so device compute for chunk i+1.. overlaps the (tunnel-bound)
+    # device->host transfer of chunk i instead of serialising sync ->
+    # dispatch -> sync per chunk
+    pending = [fwd(jnp.asarray(s, jnp.int32))
+               for s in range(0, total + pad, chunk)]
     rgb_parts, sig_parts = [], []
-    for s in range(0, total + pad, chunk):
-        rgb8, sig = fwd(jnp.asarray(s, jnp.int32))
+    for rgb8, sig in pending:
         rgb_parts.append(np.asarray(rgb8))
         sig_parts.append(np.asarray(sig))
     rgb = np.concatenate(rgb_parts)[:total].astype(np.float32) / 255.0

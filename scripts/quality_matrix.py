@@ -99,6 +99,22 @@ def make_modes(C, dense_grid):
             hash=int8,
             render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
                                   occ_guided=True, occ_probes=128)),
+        # unbiased importance-weighted dt (the dt-clipping-bias fix):
+        # flagship evidence is +1.7 dB at step 2000 on the hard scene
+        "int8_dense_guided_k32_mass": C.PipelineConfig(
+            hash=int8,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass")),
+        # occupancy-grid resolution: finer cells classify the probe
+        # ladder better once placement (not culling) is the consumer
+        "int8_dense_guided_k32_mass_g256": C.PipelineConfig(
+            hash=int8,
+            render=C.RenderConfig(**r, occupancy=True,
+                                  occupancy_resolution=256,
+                                  compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass")),
     }
 
 

@@ -142,7 +142,7 @@ def build_parser():
                         "position within its interval per step (fixed "
                         "midpoints repeat the same classification "
                         "misses every step)")
-    p.add_argument("--occ_dt", type=str, default="clip",
+    p.add_argument("--occ_dt", type=str, default="mass",
                    choices=["clip", "mass"],
                    help="with --occ_guided: dt estimator — 'clip' at "
                         "probe-interval ends (biased low when samples "

@@ -235,8 +235,12 @@ class RenderConfig:
     # clipped at the probe-interval end (biased low when samples are
     # sparser than probe intervals); "mass" is the unbiased
     # importance-weighted estimator dt = h*W/(K*m) (ops/sampling.py
-    # occupancy_guided_ts docstring).
-    occ_dt: str = "clip"
+    # occupancy_guided_ts docstring).  Default "mass": on the hard
+    # textured scene it reaches 30.24 dB at step 2000 where clip needs
+    # 6000 steps for 30.18, and converges +0.78 dB higher (30.96 vs
+    # 30.18 at 6000) at identical step rate (docs/PERF_NOTES.md
+    # "Unbiased mass-dt").
+    occ_dt: str = "mass"
 
 
 @dataclasses.dataclass(frozen=True)

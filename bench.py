@@ -24,6 +24,10 @@ cannot be mistaken for the reference-semantics speed:
                    the quality matrix shows 32 guided samples match 48
                    on holdout PSNR at the same wall-clock
 
+Guided modes use the default unbiased mass-dt estimator (rate-neutral
+vs clipped dt in a time-adjacent A/B; +0.3 dB at the 240s quality
+budget and +0.78 dB at convergence, docs/PERF_NOTES.md).
+
 Every mode trains the same 32-dim encoding at reference scale
 (T=2**16, N_max=2048) and 128 samples/ray.
 """

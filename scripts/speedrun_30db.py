@@ -1,0 +1,180 @@
+"""Wall-clock-to-30-dB speedrun on the hard textured scene.
+
+BASELINE.md north-star: "<10 min wall-clock to >=30 PSNR (lego)" on one
+v5e chip.  The lego dataset is unavailable offline, so this runs the
+harder proxy protocol (synthetic.textured_field at 400x400, the
+quality-matrix scene) at the flagship operating point (int8 + dense
+coarse levels + occupancy-guided placement, K=32, 64 probes, unbiased
+mass-dt) and reports the wall clock at which a HELD-OUT exact-ladder
+eval render first reaches 30 dB.
+
+Protocol notes:
+  * the clock starts BEFORE the first train step and INCLUDES compile
+    (reported both with and without, since the remote-compile tunnel
+    adds minutes a local chip would not pay),
+  * evals run every --eval_every steps once train PSNR > 27 (each eval
+    costs ~2 training seconds; the eval clock is excluded from the
+    "train-only" number but included in wall-clock),
+  * the eval is a full 400x400 render with the exact interpolant at
+    128 samples, no culling — no training-path estimator leaks in.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/speedrun_30db.py
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target_db", type=float, default=30.0)
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--height", type=int, default=400)
+    ap.add_argument("--views", type=int, default=20)
+    ap.add_argument("--max_steps", type=int, default=6000)
+    ap.add_argument("--eval_every", type=int, default=250)
+    ap.add_argument("--eval_after_train_db", type=float, default=27.0)
+    ap.add_argument("--out", type=str, default="speedrun_30db.json")
+    args = ap.parse_args()
+
+    from human_body_reconstruction_tpu.data import synthetic
+    from human_body_reconstruction_tpu.models import mlp as mlp_lib
+    from human_body_reconstruction_tpu.models import nerf
+    from human_body_reconstruction_tpu.ops import dense_grid
+    from human_body_reconstruction_tpu.ops import hash_encoding as he
+    from human_body_reconstruction_tpu.ops import occupancy
+    from human_body_reconstruction_tpu.ops import rays as rays_lib
+    from human_body_reconstruction_tpu.train import state as state_lib
+    from human_body_reconstruction_tpu.train import step as step_lib
+    from human_body_reconstruction_tpu.utils import config as C
+
+    print("devices:", jax.devices(), flush=True)
+    H = W = args.height
+    focal = 1.1 * H
+    K = jnp.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                    jnp.float32)
+    poses = synthetic.orbit_poses(args.views + 1, radius=4.0,
+                                  elevation=0.35)
+    cache = f"/tmp/qm_gt_{H}x{W}_{args.views}.npz"
+    if os.path.exists(cache):
+        imgs = np.load(cache)["imgs"]
+    else:
+        print("rendering GT views ...", flush=True)
+        imgs = np.stack([synthetic.render_gt_image(
+            H, W, K, poses[i], field=synthetic.textured_field,
+            num_samples=384) for i in range(args.views + 1)])
+        np.savez_compressed(cache, imgs=imgs)
+    train_imgs = jnp.asarray(imgs[:args.views])
+    train_poses = jnp.asarray(poses[:args.views])
+    hold_img = imgs[args.views]
+    hold_pose = jnp.asarray(poses[args.views])
+
+    lo, hi = rays_lib.scene_bounds(H, W, K, train_poses, 2.0, 6.0)
+    scene = {"mu": lo, "sigma": jnp.sqrt(jnp.sum((hi - lo) ** 2)),
+             "min_bound": lo, "max_bound": hi}
+
+    int8 = C.HashConfig(num_levels=8, features_per_level=4, n_min=16,
+                        n_max=2048, log2_table_size=16,
+                        stochastic_train=True, packed=True,
+                        pack_format="int8", grad_subsample=True,
+                        hw_rng=True)
+    int8 = dataclasses.replace(
+        int8, dense_levels=dense_grid.auto_dense_levels(int8))
+    cfg = C.PipelineConfig(
+        hash=int8,
+        render=C.RenderConfig(num_samples=128, occupancy=True,
+                              occupancy_resolution=128,
+                              compact_samples=32, occ_guided=True,
+                              occ_probes=64, occ_dt="mass"),
+        train=C.TrainConfig(ray_batch=args.batch))
+    eval_cfg = dataclasses.replace(
+        cfg, hash=dataclasses.replace(cfg.hash, stochastic_train=False),
+        render=dataclasses.replace(cfg.render, occupancy=False,
+                                   compact_samples=0, occ_guided=False))
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {**he.init_encoder(k1, cfg.hash),
+              "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
+                                        cfg.dir_enc.out_dim)}
+    state, tx = state_lib.create_train_state(params, cfg.train,
+                                             args.max_steps)
+    warmup = cfg.train.occ_warmup_steps
+    occ_pending = occupancy.init_grid(cfg.render.occupancy_resolution,
+                                      threshold=0.01)
+
+    def run(state):
+        return step_lib.train_step(state, scene, train_imgs, train_poses,
+                                   K, jax.random.PRNGKey(1), cfg, tx,
+                                   args.batch)
+
+    def occ_refresh(state, steps):
+        params_now = state.params
+        new_occ = occupancy.update(
+            state.occ,
+            lambda p: nerf.density_only(params_now, scene, p, cfg),
+            jax.random.PRNGKey(steps), scene["mu"], scene["sigma"],
+            num_cells=2 ** 20)
+        return state._replace(occ=new_occ)
+
+    def holdout_db(state):
+        img = step_lib.render_image(state.params, scene, H, W, K,
+                                    hold_pose, eval_cfg, num_samples=128,
+                                    chunk=32768)
+        mse = float(np.mean((img - hold_img) ** 2))
+        return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+    t_wall0 = time.perf_counter()
+    state, m = run(state)                        # includes compile
+    float(m["loss"])
+    t_compiled = time.perf_counter()
+    eval_time = 0.0
+    steps = 1
+    crossed = None
+    while steps < args.max_steps:
+        if occ_pending is not None and steps >= warmup:
+            state = occ_refresh(state._replace(occ=occ_pending), steps)
+            occ_pending = None
+        state, m = run(state)
+        steps += 1
+        if state.occ is not None and steps % 64 == 0:
+            state = occ_refresh(state, steps)
+        if steps % args.eval_every == 0:
+            train_db = float(m["psnr"])          # syncs the queue too
+            if train_db < args.eval_after_train_db:
+                print(f"step {steps}: train {train_db:.2f} dB "
+                      f"(eval skipped)", flush=True)
+                continue
+            te = time.perf_counter()
+            db = holdout_db(state)
+            eval_time += time.perf_counter() - te
+            now = time.perf_counter()
+            print(f"step {steps}: train {train_db:.2f} dB, holdout "
+                  f"{db:.2f} dB at wall {now - t_wall0:.0f}s", flush=True)
+            if db >= args.target_db:
+                crossed = {
+                    "steps": steps,
+                    "holdout_db": round(db, 2),
+                    "wall_s_incl_compile": round(now - t_wall0, 1),
+                    "wall_s_excl_compile": round(now - t_compiled, 1),
+                    "train_s_excl_evals": round(
+                        now - t_compiled - eval_time, 1),
+                }
+                break
+    result = {"target_db": args.target_db, "crossed": crossed,
+              "protocol": f"textured {H}x{W}, {args.views} views, "
+                          f"batch {args.batch}, flagship int8+dense+"
+                          f"guided K=32 mass-dt"}
+    print(json.dumps(result), flush=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -120,7 +120,7 @@ def main():
             state.occ,
             lambda p: nerf.density_only(params_now, scene, p, cfg),
             jax.random.PRNGKey(steps), scene["mu"], scene["sigma"],
-            num_cells=2 ** 20)
+            num_cells=max(2 ** 20, state.occ.density.size // 8))
         return state._replace(occ=new_occ)
 
     def holdout_db(state):

@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-2 close TPU batch: run everything pending in one serial pass
+# (one process per experiment; never overlap — CLAUDE.md contention rule).
+# Usage: bash scripts/tpu_batch_r2close.sh >> /tmp/tpu_batch.log 2>&1
+set -x
+export PYTHONPATH="/root/repo:/root/.axon_site"
+cd /root/repo
+
+# 1. speedrun: wall-clock to 30 dB at the flagship operating point
+timeout 4000 python scripts/speedrun_30db.py --out speedrun_30db.json
+echo "=== speedrun rc=$?"
+
+# 2. 256-cell occupancy grid A/B at the 240s matrix budget
+timeout 2400 python scripts/quality_matrix.py --budget 240 \
+    --modes int8_dense_guided_k32_mass_g256 --out qm_g256.json
+echo "=== qm_g256 rc=$?"
+
+# 3. warm-path mesh export timing (two exports in one process: the
+#    second reuses the compiled sweep executable)
+timeout 3000 python - <<'EOF'
+import time, json
+from human_body_reconstruction_tpu.cli import nerf2mesh
+base = ["--ckpt_dir", "results/r2_flagship_k32m",
+        "--model_name", "flagship_k32m",
+        "--bound_pth", "bounds_model.npy",
+        "--resolution", "256", "--iso", "5.0",
+        "--cache", ""]          # no cache: time the real sweep both times
+t0 = time.perf_counter()
+nerf2mesh.main(base + ["--out", "/tmp/mesh_warm1.ply"])
+t1 = time.perf_counter()
+nerf2mesh.main(base + ["--out", "/tmp/mesh_warm2.ply"])
+t2 = time.perf_counter()
+print(json.dumps({"cold_s": round(t1 - t0, 1),
+                  "warm_s": round(t2 - t1, 1)}))
+EOF
+echo "=== mesh rc=$?"
+
+# 4. bench with the updated modes (gives the driver-comparable number)
+timeout 4000 python bench.py
+echo "=== bench rc=$?"

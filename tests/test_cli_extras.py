@@ -53,3 +53,56 @@ def test_plot_psnr_cli(tmp_path):
     # monotonic: later (less noisy) frames have higher PSNR
     curve = plot_psnr.psnr_dir(str(pred), str(gt))
     assert curve[-1] > curve[0]
+
+
+def test_train_hash_from_on_disk_blender_dataset(tmp_path):
+    """Full CLI drive from a REAL on-disk blender-layout dataset: dump
+    renderable views (true poses + GT renders, alpha channel included)
+    to transforms_train/test.json + PNGs, then train via --data_path and
+    assert the trainer consumed them (ckpt written, loss finite, eval
+    render path exercised through the test split)."""
+    import json as json_lib
+
+    import numpy as np
+    from PIL import Image
+
+    from human_body_reconstruction_tpu.cli import train_hash
+    from human_body_reconstruction_tpu.data import synthetic
+
+    H = W = 24
+    n = 4
+    ds = synthetic.make_dataset(n_views=n + 1, H=H, W=W)
+    focal = float(ds["K"][0, 0])
+    cax = 2.0 * np.arctan(W / (2.0 * focal))
+    (tmp_path / "train").mkdir()
+    c2ws = np.asarray(ds["c2ws"])
+    imgs = np.asarray(ds["images"])
+
+    def dump(split, idxs):
+        frames = []
+        for k in idxs:
+            rgba = np.concatenate(
+                [imgs[k], np.ones((H, W, 1), np.float32)], axis=-1)
+            arr = (np.clip(rgba, 0, 1) * 255).astype(np.uint8)
+            name = f"train/r_{k}"
+            Image.fromarray(arr, "RGBA").save(tmp_path / f"{name}.png")
+            frames.append({"file_path": f"./{name}",
+                           "transform_matrix": c2ws[k].tolist()})
+        (tmp_path / f"transforms_{split}.json").write_text(
+            json_lib.dumps({"camera_angle_x": cax, "frames": frames}))
+
+    dump("train", range(n))
+    dump("test", [n])
+
+    out = tmp_path / "out"
+    train_hash.main([
+        "--data_path", str(tmp_path), "--steps", "40", "--num_batch",
+        "256", "--num_samples", "16", "--num_levels", "4",
+        "--features_per_level", "2", "--log_every", "20",
+        "--eval_every", "40", "--write",
+        "--model_name", "diskrun", "--out_dir", str(out)])
+    assert (out / "diskrun_ckpt.npz").exists()
+    assert (out / "bounds_model.npy").exists()
+    csv = (out / "diskrun_metrics.csv").read_text().strip().splitlines()
+    last = csv[-1].split(",")
+    assert np.isfinite(float(last[1]))

@@ -466,10 +466,18 @@ def _stoch_packed_bwd(cfg, res, g):
         dflat = scatter_add_flat(L * T * F, flat_idx, g_sel,
                                  cfg.scatter_strategy)
         return dflat.reshape(L, T, F), None, None, None, None
-    flat = [scatter_add_flat(L * T, rows, glfn[:, f, :],
-                             cfg.scatter_strategy)
-            for f in range(F)]
-    dtable = jnp.stack(flat, axis=-1).reshape(L, T, F)
+    if cfg.scatter_strategy == "random":
+        flat = [scatter_add_flat(L * T, rows, glfn[:, f, :], "random")
+                for f in range(F)]
+        dtable = jnp.stack(flat, axis=-1).reshape(L, T, F)
+    else:
+        # one fused sort over ALL F features' contributions (the same
+        # reshaping the int8 branch uses) instead of F full sorts
+        base = rows * F
+        idx = jnp.stack([(base + f).reshape(-1) for f in range(F)])
+        val = jnp.stack([glfn[:, f, :].reshape(-1) for f in range(F)])
+        dtable = scatter_add_flat(L * T * F, idx, val,
+                                  cfg.scatter_strategy).reshape(L, T, F)
     return dtable, None, None, None, None
 
 

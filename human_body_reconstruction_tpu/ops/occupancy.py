@@ -66,23 +66,23 @@ def lookup(grid: OccupancyGrid, points, mu, sigma):
 
 
 def update(grid: OccupancyGrid, density_fn, key, mu, sigma, *,
-           num_cells: int | None = None,
-           decay: float = 0.95) -> OccupancyGrid:
+           num_cells: int = 2 ** 18, decay: float = 0.95) -> OccupancyGrid:
     """One culling round: decay the EMA, re-evaluate a random cell subset.
 
     Args:
       density_fn: maps (N, 3) world points -> (N,) non-negative density.
-      num_cells: cells re-sampled this round (static).  Default scales
-        with the grid — max(2^18, cells/8) — so coverage per round is a
-        constant FRACTION of the grid: a fixed count that suits 128^3
-        (12.5%/round) would leave a 256^3 grid mostly in its
-        never-visited all-occupied init for thousands of steps.
+      num_cells: cells re-sampled this round (static).  The default
+        covers 12.5% of a 128^3 grid but only 1.6% of 256^3 per round —
+        SAFE either way (never-visited cells stay inf = occupied, so
+        under-coverage only delays culling, never mis-culls), and cheap
+        on the Trainer's 15-step cadence.  Callers that need a big grid
+        to CONVERGE fast on a short budget (quality matrix, speedrun)
+        pass an explicitly scaled count instead; scaling the default
+        would 8x the refresh cost of every default-256^3 CLI run.
     Returns:
       updated OccupancyGrid (functional).
     """
     g = grid.density.shape[0]
-    if num_cells is None:
-        num_cells = max(2 ** 18, (g * g * g) // 8)
     k1, k2 = jax.random.split(key)
     flat_idx = jax.random.randint(k1, (num_cells,), 0, g * g * g)
     cz = flat_idx % g

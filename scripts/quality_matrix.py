@@ -25,6 +25,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def load_or_render_gt(H, W, views, focal_mult=1.1, radius=4.0,
+                      elevation=0.35):
+    """(K, poses, imgs) for the hard textured protocol; GT renders are
+    cached in /tmp (shared by quality_matrix and speedrun_30db)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from human_body_reconstruction_tpu.data import synthetic
+
+    focal = focal_mult * H
+    K = jnp.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                    jnp.float32)
+    poses = synthetic.orbit_poses(views + 1, radius=radius,
+                                  elevation=elevation)
+    cache = f"/tmp/qm_gt_{H}x{W}_{views}.npz"
+    if os.path.exists(cache):
+        imgs = np.load(cache)["imgs"]
+        print(f"GT loaded from {cache}", flush=True)
+    else:
+        print(f"rendering {views + 1} GT views at {H}x{W} ...", flush=True)
+        t0 = time.time()
+        imgs = np.stack([synthetic.render_gt_image(
+            H, W, K, poses[i], field=synthetic.textured_field,
+            num_samples=384) for i in range(views + 1)])
+        np.savez_compressed(cache, imgs=imgs)
+        print(f"GT done in {time.time() - t0:.0f}s", flush=True)
+    return K, poses, imgs
+
+
 def make_modes(C, dense_grid):
     h = dict(num_levels=16, features_per_level=2, n_min=16, n_max=2048,
              log2_table_size=16)
@@ -143,23 +172,7 @@ def main():
     from human_body_reconstruction_tpu.utils import config as C
 
     H = W = args.height
-    focal = 1.1 * H
-    K = jnp.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
-                    jnp.float32)
-    poses = synthetic.orbit_poses(args.views + 1, radius=4.0, elevation=0.35)
-    cache = f"/tmp/qm_gt_{H}x{W}_{args.views}.npz"
-    if os.path.exists(cache):
-        imgs = np.load(cache)["imgs"]
-        print(f"GT loaded from {cache}", flush=True)
-    else:
-        print(f"rendering {args.views + 1} GT views at {H}x{W} ...",
-              flush=True)
-        t0 = time.time()
-        imgs = np.stack([synthetic.render_gt_image(
-            H, W, K, poses[i], field=synthetic.textured_field,
-            num_samples=384) for i in range(args.views + 1)])
-        np.savez_compressed(cache, imgs=imgs)
-        print(f"GT done in {time.time() - t0:.0f}s", flush=True)
+    K, poses, imgs = load_or_render_gt(H, W, args.views)
     train_imgs = jnp.asarray(imgs[:args.views])
     train_poses = jnp.asarray(poses[:args.views])
     hold_img = imgs[args.views]

@@ -31,6 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from quality_matrix import load_or_render_gt
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -57,20 +59,7 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     H = W = args.height
-    focal = 1.1 * H
-    K = jnp.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
-                    jnp.float32)
-    poses = synthetic.orbit_poses(args.views + 1, radius=4.0,
-                                  elevation=0.35)
-    cache = f"/tmp/qm_gt_{H}x{W}_{args.views}.npz"
-    if os.path.exists(cache):
-        imgs = np.load(cache)["imgs"]
-    else:
-        print("rendering GT views ...", flush=True)
-        imgs = np.stack([synthetic.render_gt_image(
-            H, W, K, poses[i], field=synthetic.textured_field,
-            num_samples=384) for i in range(args.views + 1)])
-        np.savez_compressed(cache, imgs=imgs)
+    K, poses, imgs = load_or_render_gt(H, W, args.views)
     train_imgs = jnp.asarray(imgs[:args.views])
     train_poses = jnp.asarray(poses[:args.views])
     hold_img = imgs[args.views]
@@ -134,26 +123,44 @@ def main():
     state, m = run(state)                        # includes compile
     float(m["loss"])
     t_compiled = time.perf_counter()
+    # Three more fresh HLOs land later and must not pollute the
+    # "excl_compile" numbers (each is minutes through the remote
+    # tunnel): the culled step after the occupancy grid installs (the
+    # state pytree changes), the occupancy refresh itself, and the
+    # first holdout eval's render.  Track their excess over a warm
+    # invocation explicitly.
+    compile_extra = 0.0
     eval_time = 0.0
     steps = 1
     crossed = None
+    eval_count = 0
     while steps < args.max_steps:
         if occ_pending is not None and steps >= warmup:
+            tc = time.perf_counter()
             state = occ_refresh(state._replace(occ=occ_pending), steps)
             occ_pending = None
+            state, m = run(state)                # fresh HLO (occ in tree)
+            float(m["loss"])
+            steps += 1
+            compile_extra += time.perf_counter() - tc
+            continue
         state, m = run(state)
         steps += 1
         if state.occ is not None and steps % 64 == 0:
             state = occ_refresh(state, steps)
         if steps % args.eval_every == 0:
+            te = time.perf_counter()
             train_db = float(m["psnr"])          # syncs the queue too
             if train_db < args.eval_after_train_db:
                 print(f"step {steps}: train {train_db:.2f} dB "
                       f"(eval skipped)", flush=True)
                 continue
-            te = time.perf_counter()
             db = holdout_db(state)
-            eval_time += time.perf_counter() - te
+            dte = time.perf_counter() - te
+            eval_count += 1
+            if eval_count == 1:
+                first_eval_s = dte               # includes render compile
+            eval_time += dte
             now = time.perf_counter()
             print(f"step {steps}: train {train_db:.2f} dB, holdout "
                   f"{db:.2f} dB at wall {now - t_wall0:.0f}s", flush=True)
@@ -162,9 +169,15 @@ def main():
                     "steps": steps,
                     "holdout_db": round(db, 2),
                     "wall_s_incl_compile": round(now - t_wall0, 1),
-                    "wall_s_excl_compile": round(now - t_compiled, 1),
+                    "wall_s_excl_compile": round(
+                        now - t_compiled - compile_extra, 1),
                     "train_s_excl_evals": round(
-                        now - t_compiled - eval_time, 1),
+                        now - t_compiled - compile_extra - eval_time, 1),
+                    "compile_s": {
+                        "first_step": round(t_compiled - t_wall0, 1),
+                        "occ_install": round(compile_extra, 1),
+                        "first_eval": round(first_eval_s, 1),
+                    },
                 }
                 break
     result = {"target_db": args.target_db, "crossed": crossed,

@@ -21,12 +21,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, n=5, sync=lambda o: float(jnp.sum(o))):
-    fn(*args)  # compile
+def timed(fn, inputs, n=6, sync=lambda o: float(jnp.sum(o))):
+    """inputs: list of arg-tuples, rotated per call (CLAUDE.md timing
+    rule: identical inputs through the tunnel can short-circuit)."""
+    fn(*inputs[0])  # compile
     t0 = time.perf_counter()
     acc = 0.0
-    for _ in range(n):
-        acc += sync(fn(*args))
+    for i in range(n):
+        acc += sync(fn(*inputs[i % len(inputs)]))
     dt = (time.perf_counter() - t0) / n
     return dt, acc
 
@@ -36,10 +38,14 @@ def main():
     L, T, F = 6, 65536, 4
     SIZE = L * T * F
     for N in (1_048_576, 3_145_728, 6_291_456):
-        key = jax.random.PRNGKey(0)
-        idx = jax.random.randint(key, (N,), 0, SIZE, dtype=jnp.int32)
-        val = jax.random.normal(jax.random.PRNGKey(1), (N,), jnp.float32)
-        idx_sorted = jnp.sort(idx)
+        idxs = [jax.random.randint(jax.random.PRNGKey(7 * i), (N,), 0,
+                                   SIZE, dtype=jnp.int32)
+                for i in range(3)]
+        vals = [jax.random.normal(jax.random.PRNGKey(7 * i + 1), (N,),
+                                  jnp.float32) for i in range(3)]
+        idx, val = idxs[0], vals[0]
+        pairs = list(zip(idxs, vals))
+        sorted_pairs = [(jnp.sort(i), v) for i, v in pairs]
 
         @jax.jit
         def scat_random(i, v):
@@ -72,10 +78,10 @@ def main():
             return jnp.zeros((SIZE,), jnp.float32).at[out_idx].add(
                 totals, indices_are_sorted=True)
 
-        t_rand, _ = timed(scat_random, idx, val)
-        t_sortd, _ = timed(scat_sorted, idx_sorted, val)
-        t_sort, _ = timed(sort_pairs, idx, val)
-        t_full, _ = timed(sort_segsum_scatter, idx, val)
+        t_rand, _ = timed(scat_random, pairs)
+        t_sortd, _ = timed(scat_sorted, sorted_pairs)
+        t_sort, _ = timed(sort_pairs, pairs)
+        t_full, _ = timed(sort_segsum_scatter, pairs)
         print(f"N={N:>9}: random {t_rand*1e3:7.1f} ms ({N/t_rand/1e6:6.1f}M/s)"
               f" | sorted-scatter {t_sortd*1e3:7.1f} ms ({N/t_sortd/1e6:6.1f}M/s)"
               f" | sort {t_sort*1e3:7.1f} ms"

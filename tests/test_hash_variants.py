@@ -289,3 +289,29 @@ def test_grad_subsample_end_to_end():
                                        ds["c2ws"], ds["K"],
                                        jax.random.PRNGKey(0), cfg, tx, 1024)
     assert float(m["psnr"]) > 20.0, float(m["psnr"])
+
+
+def test_packed_grad_matches_across_scatter_strategies():
+    """Float-packed VJP is identical for all scatter strategies, with
+    and without grad_subsample (covers the fused single-sort branch)."""
+    x = jax.random.uniform(jax.random.PRNGKey(7), (41, 3))
+    key = jax.random.PRNGKey(8)
+    grads = {}
+    for strat in ("random", "sorted", "segsum"):
+        for sub in (False, True):
+            cfg = HashConfig(num_levels=3, log2_table_size=8, n_min=4,
+                             n_max=32, stochastic_train=True, packed=True,
+                             grad_subsample=sub, scatter_strategy=strat)
+            table = he.init_table(jax.random.PRNGKey(6), cfg)
+
+            def f(tb):
+                out = he.hash_encode_stochastic_packed(
+                    tb, x, 0.0, 1.0, cfg, key)
+                return jnp.sum(jnp.cos(out * 2.0))
+
+            grads[(strat, sub)] = np.asarray(jax.grad(f)(table))
+    for sub in (False, True):
+        for strat in ("sorted", "segsum"):
+            np.testing.assert_allclose(
+                grads[(strat, sub)], grads[("random", sub)],
+                rtol=1e-5, atol=1e-6)

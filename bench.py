@@ -99,10 +99,28 @@ def time_mode(name, cfg, batch, iters):
     return batch * iters / dt, occ_frac
 
 
+def _wait_for_devices(attempts=4, delay_s=90):
+    """The remote-TPU tunnel occasionally drops; give it a few minutes
+    to come back before the (unattended) bench run gives up."""
+    import sys
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except Exception as e:
+            if i == attempts - 1:
+                raise
+            print(f"device probe failed ({e!r}); retry {i + 1}/"
+                  f"{attempts - 1} in {delay_s}s", file=sys.stderr,
+                  flush=True)
+            time.sleep(delay_s)
+
+
 def main():
     from human_body_reconstruction_tpu.ops import dense_grid
     from human_body_reconstruction_tpu.utils import config as C
 
+    import sys
+    print("devices:", _wait_for_devices(), file=sys.stderr, flush=True)
     num_samples = 128
     render_plain = C.RenderConfig(num_samples=num_samples)
     render_occ = C.RenderConfig(num_samples=num_samples, occupancy=True,

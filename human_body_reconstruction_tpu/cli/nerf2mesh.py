@@ -46,6 +46,10 @@ def build_parser():
                    choices=["diagonal", "unit_box"],
                    help="must match the trainer's --normalization")
     p.add_argument("--chunk", type=int, default=262144)
+    p.add_argument("--aot_cache", type=str, default="",
+                   help="directory for the disk-backed compiled-executable "
+                        "cache: repeat exports at the same "
+                        "config/resolution skip the sweep's remote compile")
     p.add_argument("--encoder_variant", type=str, default=None,
                    choices=["corner", "cell"],
                    help="hash layout used at training time (auto-restored "
@@ -129,7 +133,8 @@ def main(argv=None):
     stats = mesh_export.export_mesh(
         params, scene, cfg, resolution=args.resolution, iso=args.iso,
         chunk=args.chunk, cache_path=args.cache or None, out_path=args.out,
-        color_mode=args.color_mode)
+        color_mode=args.color_mode,
+        aot_cache=args.aot_cache or os.environ.get("HBR_AOT_CACHE"))
     print(f"wrote {stats['out_path']}: {stats['num_verts']} verts, "
           f"{stats['num_faces']} faces")
     if args.view:

@@ -104,6 +104,10 @@ def build_parser():
                         "gather/scatter); -1 picks D automatically")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the ray batch over all visible devices")
+    p.add_argument("--aot_cache", type=str, default="",
+                   help="directory for the disk-backed compiled-executable "
+                        "cache (utils/aot.py): re-runs with an identical "
+                        "HLO skip the minutes-long remote TPU compile")
     p.add_argument("--grad_level_subsample", action="store_true",
                    help="with --grad_subsample + int8: also route each "
                         "point's gradient to one random level (scaled Lx, "
@@ -263,7 +267,8 @@ def main(argv=None):
                       model_name=args.model_name,
                       log_grad_norms=args.plot_grads, eval_ds=eval_ds,
                       total_steps=steps, data_parallel=args.data_parallel,
-                      display=args.display)
+                      display=args.display,
+                      aot_cache=args.aot_cache or None)
     if args.load:
         path = os.path.join(args.out_dir, f"{args.ckpt_name}_ckpt.npz")
         if not os.path.exists(path):

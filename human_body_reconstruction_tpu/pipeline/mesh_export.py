@@ -16,6 +16,7 @@ Capability parity with reference ``nerf2mesh.py``:
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Optional
@@ -30,9 +31,31 @@ from human_body_reconstruction_tpu.ops import positional
 from human_body_reconstruction_tpu.utils.config import PipelineConfig
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "R", "chunk"))
+def _sweep_chunk(params, lo, span, dirs_enc, scene, start, cfg, R, chunk):
+    """One density-sweep chunk.  params/bounds are ARGUMENTS (not
+    closure constants) so the lowered HLO is checkpoint-independent —
+    a prerequisite for the AOT executable cache."""
+    flat = start + jnp.arange(chunk, dtype=jnp.int32)
+    k = flat % R
+    j = (flat // R) % R
+    i = flat // (R * R)
+    ijk = jnp.stack([i, j, k], axis=-1).astype(jnp.float32)
+    p = lo + ijk / (R - 1) * span
+    d = jnp.broadcast_to(dirs_enc, (p.shape[0], dirs_enc.shape[-1]))
+    rgb, sigma = nerf.field_forward(params, scene, p, d, cfg,
+                                    compute_dtype=jnp.bfloat16)
+    rgb8 = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
+    # fp16 range clip: trained densities can exceed 65504 and the
+    # iso threshold (~30) only needs ~1e-3 relative precision
+    sig16 = jnp.clip(sigma, -6.0e4, 6.0e4).astype(jnp.float16)
+    return rgb8, sig16
+
+
 def density_rgb_grid(params, scene, cfg: PipelineConfig, *,
                      resolution: int = 256, chunk: int = 262144,
-                     cache_path: Optional[str] = None) -> np.ndarray:
+                     cache_path: Optional[str] = None,
+                     aot_cache: Optional[str] = None) -> np.ndarray:
     """(R, R, R, 4) float32 grid of (r, g, b, sigma) over the scene bounds.
 
     grid[i, j, k] is the field at (x_i, y_j, z_k) ('ij' indexing — unlike
@@ -65,22 +88,12 @@ def density_rgb_grid(params, scene, cfg: PipelineConfig, *,
     lo_j = jnp.asarray(lo)
     span = jnp.asarray(hi - lo)
 
-    @jax.jit
-    def fwd(start):
-        flat = start + jnp.arange(chunk, dtype=jnp.int32)
-        k = flat % R
-        j = (flat // R) % R
-        i = flat // (R * R)
-        ijk = jnp.stack([i, j, k], axis=-1).astype(jnp.float32)
-        p = lo_j + ijk / (R - 1) * span
-        d = jnp.broadcast_to(dirs_enc, (p.shape[0], dirs_enc.shape[-1]))
-        rgb, sigma = nerf.field_forward(params, scene, p, d, cfg,
-                                        compute_dtype=jnp.bfloat16)
-        rgb8 = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
-        # fp16 range clip: trained densities can exceed 65504 and the
-        # iso threshold (~30) only needs ~1e-3 relative precision
-        sig16 = jnp.clip(sigma, -6.0e4, 6.0e4).astype(jnp.float16)
-        return rgb8, sig16
+    fwd = _sweep_chunk
+    if aot_cache:
+        from human_body_reconstruction_tpu.utils import aot
+
+        fwd = aot.CachedJit(_sweep_chunk, aot.AOTCache(aot_cache),
+                            static_argnames=("cfg", "R", "chunk"))
 
     total = R * R * R
     pad = (-total) % chunk
@@ -88,7 +101,8 @@ def density_rgb_grid(params, scene, cfg: PipelineConfig, *,
     # so device compute for chunk i+1.. overlaps the (tunnel-bound)
     # device->host transfer of chunk i instead of serialising sync ->
     # dispatch -> sync per chunk
-    pending = [fwd(jnp.asarray(s, jnp.int32))
+    pending = [fwd(params, lo_j, span, dirs_enc, scene,
+                   jnp.asarray(s, jnp.int32), cfg=cfg, R=R, chunk=chunk)
                for s in range(0, total + pad, chunk)]
     rgb_parts, sig_parts = [], []
     for rgb8, sig in pending:
@@ -107,11 +121,13 @@ def export_mesh(params, scene, cfg: PipelineConfig, *,
                 resolution: int = 256, iso: float = 30.0,
                 chunk: int = 262144, cache_path: Optional[str] = None,
                 out_path: str = "mesh.ply", color_mode: str = "rgb",
-                weld: bool = True, verbose: bool = True) -> dict:
+                weld: bool = True, verbose: bool = True,
+                aot_cache: Optional[str] = None) -> dict:
     """Full export. Returns stats dict (counts + stage timings)."""
     t0 = time.perf_counter()
     grid = density_rgb_grid(params, scene, cfg, resolution=resolution,
-                            chunk=chunk, cache_path=cache_path)
+                            chunk=chunk, cache_path=cache_path,
+                            aot_cache=aot_cache)
     t_sweep = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -99,14 +99,19 @@ def render_chunk(params, scene, rays_o, rays_d, dir_norm, key,
 
 def render_image(params, scene, H: int, W: int, K, c2w, cfg: PipelineConfig,
                  occ=None, num_samples: int = 256, hierarchical: bool = False,
-                 chunk: int = 16384, key=None):
+                 chunk: int = 16384, key=None, render_fn=None):
     """Full-image render in fixed-size chunks (reference renders test
     images in 16k-ray chunks at 256 samples, train_hash2.py:284-290).
-    Returns (H, W, 3) float32 on host."""
+    Returns (H, W, 3) float32 on host.
+
+    ``render_fn`` substitutes for the jitted :func:`render_chunk` (e.g.
+    an AOT-cached wrapper, utils/aot.py); it is called with statics by
+    keyword per the CachedJit contract."""
     import numpy as np
 
     if key is None:
         key = jax.random.PRNGKey(0)
+    rf = render_fn if render_fn is not None else render_chunk
     o, d, n = rays_lib.full_image_rays(H, W, K, c2w)
     total = H * W
     pad = (-total) % chunk
@@ -115,8 +120,9 @@ def render_image(params, scene, H: int, W: int, K, c2w, cfg: PipelineConfig,
     n = jnp.concatenate([n, jnp.ones((pad, 1))]) if pad else n
     outs = []
     for s in range(0, total + pad, chunk):
-        outs.append(np.asarray(render_chunk(
+        outs.append(np.asarray(rf(
             params, scene, o[s:s + chunk], d[s:s + chunk], n[s:s + chunk],
-            key, cfg, occ, num_samples, hierarchical)))
+            key, occ=occ, cfg=cfg, num_samples=num_samples,
+            hierarchical=hierarchical)))
     img = np.concatenate(outs, axis=0)[:total]
     return img.reshape(H, W, 3)

@@ -87,6 +87,11 @@ class Trainer:
                                        # also overwrites <model>_preview.png
                                        # and, when cv2 + a display exist,
                                        # shows a non-blocking window
+    aot_cache: Optional[str] = None    # disk-backed compiled-executable
+                                       # cache (utils/aot.py): skips the
+                                       # minutes-long remote compile on
+                                       # re-runs with an identical HLO;
+                                       # also settable via HBR_AOT_CACHE
 
     def __post_init__(self):
         cfg = self.cfg
@@ -121,6 +126,20 @@ class Trainer:
             self.state = dp.replicate_to_mesh(self.state, self.mesh)
             self.log_fn(f"data-parallel over {self.mesh.devices.size} "
                         "devices")
+        self._step_fn = step_lib.train_step
+        self._render_fn = None
+        cache_dir = self.aot_cache or os.environ.get("HBR_AOT_CACHE")
+        if cache_dir and self._dp_step is None:
+            from human_body_reconstruction_tpu.utils import aot
+
+            self._aot = aot.AOTCache(cache_dir)
+            self._step_fn = aot.CachedJit(
+                step_lib.train_step, self._aot,
+                static_argnames=("cfg", "tx", "batch_size"))
+            self._render_fn = aot.CachedJit(
+                step_lib.render_chunk, self._aot,
+                static_argnames=("cfg", "num_samples", "hierarchical"))
+            self.log_fn(f"aot executable cache at {self._aot.dir}")
         self.key = jax.random.PRNGKey(cfg.train.seed)
         self.history = []
         from human_body_reconstruction_tpu.utils.observability import (
@@ -199,10 +218,12 @@ class Trainer:
                     self.state, self.scene, self.ds["images"],
                     self.ds["c2ws"], self.ds["K"], self.key)
             else:
-                self.state, metrics = step_lib.train_step(
+                # statics by keyword: required by the CachedJit contract,
+                # accepted identically by the plain jitted fn
+                self.state, metrics = self._step_fn(
                     self.state, self.scene, self.ds["images"],
-                    self.ds["c2ws"], self.ds["K"], self.key, cfg, self.tx,
-                    cfg.train.ray_batch)
+                    self.ds["c2ws"], self.ds["K"], self.key, cfg=cfg,
+                    tx=self.tx, batch_size=cfg.train.ray_batch)
             rays_done += cfg.train.ray_batch
 
             step_no = start_step + i + 1
@@ -255,7 +276,8 @@ class Trainer:
             self.state.params, self.scene, ds["H"], ds["W"],
             ds["K"], ds["c2ws"][pose_idx], cfg,
             occ=self.state.occ, num_samples=num_samples,
-            hierarchical=cfg.render.hierarchical)
+            hierarchical=cfg.render.hierarchical,
+            render_fn=self._render_fn)
         gt = np.asarray(ds["images"][pose_idx])
         mse = float(np.mean((img - gt) ** 2))
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))

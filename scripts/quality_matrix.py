@@ -160,7 +160,6 @@ def main():
     ap.add_argument("--out", type=str, default="quality_matrix.json")
     args = ap.parse_args()
 
-    from human_body_reconstruction_tpu.data import synthetic
     from human_body_reconstruction_tpu.models import mlp as mlp_lib
     from human_body_reconstruction_tpu.models import nerf
     from human_body_reconstruction_tpu.ops import dense_grid

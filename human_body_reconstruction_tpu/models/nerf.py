@@ -32,13 +32,24 @@ def encode_points(params, scene, pts, cfg: PipelineConfig, encode_key=None):
 
     ``encode_key`` activates the unbiased stochastic-corner estimator
     when ``cfg.hash.stochastic_train`` is set (training only).
+
+    Level parallelism (``cfg.hash.level_axis`` set; only valid inside a
+    shard_map over that axis — parallel/level_parallel.py): the table is
+    the chip's LEVEL SLICE, ``params["lp_scales"]`` carries its matching
+    resolutions, and the per-chip feature blocks are all_gathered along
+    the level axis so the (replicated) MLP sees the full (N, L*F) vector.
     """
     stochastic = encode_key is not None and cfg.hash.stochastic_train
     enc = {"table": params["table"]}
     if "dense" in params:
         enc["dense"] = params["dense"]
-    return he.encode_params(enc, pts, scene["mu"], scene["sigma"],
-                            cfg.hash, key=encode_key, stochastic=stochastic)
+    feats = he.encode_params(enc, pts, scene["mu"], scene["sigma"],
+                             cfg.hash, key=encode_key, stochastic=stochastic,
+                             scales=params.get("lp_scales"))
+    if cfg.hash.level_axis is not None:
+        feats = jax.lax.all_gather(feats, cfg.hash.level_axis, axis=1,
+                                   tiled=True)
+    return feats
 
 
 def field_forward(params, scene, pts, dirs_enc, cfg: PipelineConfig,

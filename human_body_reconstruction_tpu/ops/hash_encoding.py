@@ -158,13 +158,17 @@ def hash_corner_indices(coords_u32, table_size: int):
     return acc & jnp.uint32(table_size - 1)
 
 
-def _level_coords(x, mu, sigma, cfg: HashConfig):
+def _level_coords(x, mu, sigma, cfg: HashConfig, scales=None):
     """Shared front-end: (dim, L_hashed, N) integer cells + fractions.
 
     The first ``cfg.dense_levels`` levels are excluded — they are
-    evaluated by the dense-grid path (ops/dense_grid.py)."""
-    scales = jnp.asarray(level_scales(cfg)[cfg.dense_levels:],
-                         dtype=jnp.float32)                      # (L_hashed,)
+    evaluated by the dense-grid path (ops/dense_grid.py).  ``scales``
+    overrides the static ladder with a DYNAMIC per-level resolution
+    array — the level-parallel path passes each chip its local slice
+    (parallel/level_parallel.py)."""
+    if scales is None:
+        scales = jnp.asarray(level_scales(cfg)[cfg.dense_levels:],
+                             dtype=jnp.float32)                  # (L_hashed,)
     xn = ((x.astype(jnp.float32) - mu) / sigma).T                # (dim, N)
     xl = xn[:, None, :] * scales[None, :, None]                  # (dim, L, N)
     x0f = jnp.floor(xl)
@@ -181,7 +185,7 @@ def _hash_levels(coord_u32, cfg: HashConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def hash_encode_cell(table, x, mu, sigma, cfg: HashConfig):
+def hash_encode_cell(table, x, mu, sigma, cfg: HashConfig, scales=None):
     """TPU-fast "cell" variant: one hash + one row-gather per
     (point, level); the bucket holds all 2**dim corner features.
 
@@ -194,7 +198,7 @@ def hash_encode_cell(table, x, mu, sigma, cfg: HashConfig):
     L, T, P = table.shape
     dim, F, C = cfg.dim, cfg.features_per_level, cfg.corners
     N = x.shape[0]
-    x0, frac = _level_coords(x, mu, sigma, cfg)
+    x0, frac = _level_coords(x, mu, sigma, cfg, scales)
     idx = _hash_levels(x0.astype(jnp.uint32), cfg)               # (L, N)
     level_offsets = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))
     rows_idx = (idx + level_offsets[:, None]).astype(jnp.int32)  # (L, N)
@@ -243,7 +247,7 @@ def hash_encode_stochastic(table, x, mu, sigma, cfg: HashConfig, key):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def hash_encode(table, x, mu, sigma, cfg: HashConfig):
+def hash_encode(table, x, mu, sigma, cfg: HashConfig, scales=None):
     """Encode points with the multiresolution hash grid.
 
     TPU layout note: every large intermediate keeps the point axis N in
@@ -261,13 +265,15 @@ def hash_encode(table, x, mu, sigma, cfg: HashConfig):
         reference train_hash2.py:117).
       sigma: broadcastable scale (scene diagonal, train_hash2.py:119).
       cfg: static HashConfig.
+      scales: optional dynamic (L,) per-level resolutions overriding the
+        static ladder (level-parallel local slice).
     Returns:
       (N, L*F) encoded features, dtype of ``table``.
     """
     L, T, F = table.shape
     dim = cfg.dim
     N = x.shape[0]
-    x0, frac = _level_coords(x, mu, sigma, cfg)
+    x0, frac = _level_coords(x, mu, sigma, cfg, scales)
     offsets = _corner_offsets(dim)                               # host (C, dim)
     # Flat 1-D table: XLA:TPU keeps the (8 MB default) operand VMEM-
     # resident and runs 1-D gathers at near-bandwidth speed, whereas
@@ -600,13 +606,20 @@ hash_encode_stochastic_int8.defvjp(_stoch_int8_fwd, _stoch_int8_bwd)
 
 
 def encode(table, x, mu, sigma, cfg: HashConfig, key=None,
-           stochastic: bool = False):
+           stochastic: bool = False, scales=None):
     """Hashed-levels variant dispatcher.  ``stochastic`` (corner variant
     only) uses the unbiased single-corner estimator and requires ``key``.
     With ``cfg.dense_levels`` > 0 this encodes ONLY the hashed levels —
-    use :func:`encode_params` for the full feature vector."""
+    use :func:`encode_params` for the full feature vector.  ``scales``
+    (level-parallel local slice) is supported by the exact corner/cell
+    interpolants only."""
+    if scales is not None and (stochastic or cfg.packed):
+        raise ValueError(
+            "dynamic level scales (level-parallel) support the exact "
+            "corner/cell variants only; stochastic/packed/int8 paths "
+            "derive scales statically inside their custom VJPs")
     if cfg.variant == "cell":
-        return hash_encode_cell(table, x, mu, sigma, cfg)
+        return hash_encode_cell(table, x, mu, sigma, cfg, scales)
     if stochastic:
         if key is None:
             raise ValueError("stochastic hash encoding requires a PRNG key")
@@ -622,11 +635,11 @@ def encode(table, x, mu, sigma, cfg: HashConfig, key=None,
         # stochastic custom-VJP paths above); packed_exact has no VJP —
         # its word unpacking is bit arithmetic
         return hash_encode_packed_exact(table, x, mu, sigma, cfg)
-    return hash_encode(table, x, mu, sigma, cfg)
+    return hash_encode(table, x, mu, sigma, cfg, scales)
 
 
 def encode_params(enc_params, x, mu, sigma, cfg: HashConfig, key=None,
-                  stochastic: bool = False):
+                  stochastic: bool = False, scales=None):
     """Encode against the full encoder param dict.
 
     enc_params: {"table": (L_hashed, T, P)[, "dense": tuple of grids]}
@@ -646,5 +659,5 @@ def encode_params(enc_params, x, mu, sigma, cfg: HashConfig, key=None,
                                              sigma, cfg))
     if cfg.num_hashed_levels > 0:
         parts.append(encode(enc_params["table"], x, mu, sigma, cfg,
-                            key=key, stochastic=stochastic))
+                            key=key, stochastic=stochastic, scales=scales))
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)

@@ -1,0 +1,223 @@
+"""Level-parallel (tensor-parallel) hash encoding over a 2-D device mesh.
+
+The chip-level bottleneck of this whole framework is random table
+lookups (~4 KB tile per lookup, docs/PERF_NOTES.md), and lookups are
+proportional to the LEVEL count: sharding the stacked (L, T, F) table's
+level axis across chips divides the per-chip lookup (and backward
+scatter) volume by the axis extent — the lever data parallelism cannot
+pull, since DP replicates every level on every chip.  It is also the
+memory axis: at T = 2**22, L = 16, F = 2 the fp32 table is 512 MB and
+stops fitting v5e HBM next to activations; level sharding divides it.
+
+Layout (scaling-book recipe: pick a mesh, annotate shardings, let XLA
+place the collectives):
+
+  * 2-D mesh ("data", "level"); composes with ray data parallelism —
+    rays shard over "data" exactly as in ``parallel/data_parallel.py``.
+  * table: NamedSharding P("level") on the level axis; each chip holds
+    L / n_level levels and their optimizer moments.  MLP + dense-grid
+    params replicated.
+  * forward: each chip encodes its levels for its data shard's points,
+    then ONE tiled ``all_gather`` along "level" rebuilds the (N, L*F)
+    feature block (level-major order is preserved because the ladder is
+    sharded contiguously).  The MLP runs replicated across the level
+    axis — redundant FLOPs, but the MLP is ~free next to the lookups.
+  * backward: the all_gather's transpose hands each chip exactly its
+    slice of the feature cotangent, so table gradients stay local (no
+    collective on the table!); MLP/ray gradients ``pmean`` over "data"
+    only, as in DP.
+  * the per-chip level slice is described by a DYNAMIC scales vector
+    (sharded operand) — the hash/trilerp math is identical, only N_l
+    differs per level (ops/hash_encoding.py ``scales`` override).
+
+The geometric ladder is closed under contiguous slicing, so each chip's
+slice is itself a valid multires ladder.
+
+v1 scope: exact "corner"/"cell" interpolants (the reference-semantics
+modes — which are also the most lookup-bound, i.e. where level sharding
+pays most).  The stochastic/packed/int8 training paths derive their
+scales statically inside custom VJPs and keep their per-level RNG
+streams; extending them is a planned follow-up.  ``dense_levels`` must
+be 0 (dense coarse grids are MXU-cheap and replicable — compose later).
+
+No reference analog: the reference's parallelism is a single-process
+``DataParallel`` over the MLP only (train_hash2.py:127).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from human_body_reconstruction_tpu.ops import hash_encoding as he
+from human_body_reconstruction_tpu.train.state import TrainState
+from human_body_reconstruction_tpu.train.step import loss_fn, sample_ray_batch
+from human_body_reconstruction_tpu.utils.config import PipelineConfig
+
+DATA_AXIS = "data"
+LEVEL_AXIS = "level"
+
+
+def make_lp_mesh(n_data: int, n_level: int, devices=None) -> Mesh:
+    """2-D (data, level) mesh; either extent may be 1."""
+    devices = jax.devices() if devices is None else devices
+    if n_data * n_level > len(devices):
+        raise ValueError(f"mesh {n_data}x{n_level} needs more than the "
+                         f"{len(devices)} visible devices")
+    devices = devices[: n_data * n_level]
+    return Mesh(np.asarray(devices).reshape(n_data, n_level),
+                (DATA_AXIS, LEVEL_AXIS))
+
+
+def _validate(cfg: PipelineConfig, mesh: Mesh, batch_size: Optional[int]):
+    h = cfg.hash
+    n_level = mesh.shape[LEVEL_AXIS]
+    if h.dense_levels:
+        raise ValueError("level-parallel v1 requires dense_levels == 0")
+    if h.stochastic_train or h.packed:
+        raise ValueError(
+            "level-parallel v1 supports the exact corner/cell variants "
+            "only (stochastic/packed paths keep static per-level scales)")
+    if h.num_levels % n_level:
+        raise ValueError(f"num_levels {h.num_levels} not divisible by the "
+                         f"level-axis extent {n_level}")
+    if batch_size is not None and batch_size % mesh.shape[DATA_AXIS]:
+        raise ValueError(f"batch_size {batch_size} not divisible by the "
+                         f"data-axis extent {mesh.shape[DATA_AXIS]}")
+
+
+def _lp_cfg(cfg: PipelineConfig) -> PipelineConfig:
+    return dataclasses.replace(
+        cfg, hash=dataclasses.replace(cfg.hash, level_axis=LEVEL_AXIS))
+
+
+def _params_spec(params):
+    """Pytree-prefix spec: table sharded on its level axis, rest
+    replicated."""
+    return {k: (P(LEVEL_AXIS) if k == "table" else P()) for k in params}
+
+
+def _is_table_path(path) -> bool:
+    return any(getattr(k, "key", None) == "table" for k in path)
+
+
+def shard_lp_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place a TrainState on the mesh: every level-shaped leaf reached
+    through a "table" key (params AND optimizer moments) sharded
+    P("level"), everything else (incl. scalar opt bookkeeping that
+    optax masks key by param name) replicated."""
+    n_level = mesh.shape[LEVEL_AXIS]
+
+    def put(path, leaf):
+        shardable = (_is_table_path(path) and getattr(leaf, "ndim", 0) >= 1
+                     and leaf.shape[0] % n_level == 0)
+        spec = P(LEVEL_AXIS) if shardable else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map_with_path(put, state)
+
+
+def level_scales_array(cfg: PipelineConfig):
+    return jnp.asarray(he.level_scales(cfg.hash), jnp.float32)
+
+
+def make_lp_train_step(cfg: PipelineConfig, tx, batch_size: int, mesh: Mesh):
+    """Jitted level+data-parallel train step, same call signature and
+    semantics as ``train.step.train_step`` (global ray batch per call)."""
+    _validate(cfg, mesh, batch_size)
+    cfg_lp = _lp_cfg(cfg)
+    n_data = mesh.shape[DATA_AXIS]
+    local_batch = batch_size // n_data
+    compute_dtype = (jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16"
+                     else None)
+    scales_full = level_scales_array(cfg)
+
+    def shard_fn(params, occ, scene, images, c2ws, K, key, step,
+                 scales_local):
+        axis_d = jax.lax.axis_index(DATA_AXIS)
+        # all level-chips of one data shard MUST draw identical rays —
+        # fold the data index only
+        k = jax.random.fold_in(jax.random.fold_in(key, step), axis_d)
+        k_batch, k_render = jax.random.split(k)
+        batch = sample_ray_batch(k_batch, images, c2ws, K, local_batch)
+
+        def wrapped(p):
+            p = dict(p)
+            p["lp_scales"] = scales_local  # placement data, not a param
+            return loss_fn(p, scene, batch, k_render, cfg_lp, occ,
+                           compute_dtype)
+
+        (loss, aux), grads = jax.value_and_grad(wrapped, has_aux=True)(
+            params)
+        # table grads are already exactly local (the all_gather transpose
+        # routes each chip its own slice's cotangent); reduce over rays
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        aux = jax.tree.map(lambda a: jax.lax.pmean(a, DATA_AXIS), aux)
+        return grads, loss, aux
+
+    def build(params):
+        spec = _params_spec(params)
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(spec, P(), P(), P(), P(), P(), P(), P(),
+                      P(LEVEL_AXIS)),
+            out_specs=(spec, P(), P()),
+            check_vma=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, scene, images, c2ws, K, key):
+        grads, loss, aux = build(state.params)(
+            state.params, state.occ, scene, images, c2ws, K, key,
+            state.step, scales_full)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, occ=state.occ)
+        return new_state, {"loss": loss, **aux}
+
+    return step
+
+
+def make_lp_render(cfg: PipelineConfig, mesh: Mesh, num_samples: int = 128,
+                   hierarchical: bool = False, compute_dtype=None):
+    """Jitted eval render: rays shard over "data", table over "level".
+
+    render(params, scene, rays_o, rays_d, dir_norm, key) -> (N, 3); the
+    global ray count must divide the data-axis extent.
+    """
+    _validate(cfg, mesh, None)
+    cfg_lp = _lp_cfg(cfg)
+    from human_body_reconstruction_tpu.models import nerf
+    scales_full = level_scales_array(cfg)
+
+    def shard_fn(params, scene, rays_o, rays_d, dir_norm, key,
+                 scales_local):
+        p = dict(params)
+        p["lp_scales"] = scales_local
+        out = nerf.render_rays(p, scene, rays_o, rays_d, dir_norm, key,
+                               cfg_lp, num_samples=num_samples,
+                               hierarchical=hierarchical, jitter=False,
+                               compute_dtype=compute_dtype)
+        return out["fine"]
+
+    def build(params):
+        spec = _params_spec(params)
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(spec, P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(), P(LEVEL_AXIS)),
+            out_specs=P(DATA_AXIS), check_vma=False)
+
+    @jax.jit
+    def render(params, scene, rays_o, rays_d, dir_norm, key):
+        return build(params)(params, scene, rays_o, rays_d, dir_norm, key,
+                             scales_full)
+
+    return render

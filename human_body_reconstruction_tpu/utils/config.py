@@ -93,6 +93,13 @@ class HashConfig:
     # Pick by measurement (scripts/tpu_probe_scatter.py); exact in all
     # cases (pure reassociation of the same sums).
     scatter_strategy: str = "random"
+    # Level-parallel (tensor-parallel) encoding: name of the mesh axis
+    # that shards the hash table's LEVEL dimension.  Set only inside
+    # shard_map bodies (parallel/level_parallel.py builds it for you) —
+    # the encoder then all_gathers per-chip feature blocks along this
+    # axis before the MLP.  Lookups, the chip bottleneck, scale linearly
+    # with the axis extent.  None = single-chip/no level sharding.
+    level_axis: Optional[str] = None
 
     def __post_init__(self):
         if self.grad_level_subsample and not (

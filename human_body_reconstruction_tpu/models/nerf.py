@@ -43,13 +43,9 @@ def encode_points(params, scene, pts, cfg: PipelineConfig, encode_key=None):
     enc = {"table": params["table"]}
     if "dense" in params:
         enc["dense"] = params["dense"]
-    feats = he.encode_params(enc, pts, scene["mu"], scene["sigma"],
-                             cfg.hash, key=encode_key, stochastic=stochastic,
-                             scales=params.get("lp_scales"))
-    if cfg.hash.level_axis is not None:
-        feats = jax.lax.all_gather(feats, cfg.hash.level_axis, axis=1,
-                                   tiled=True)
-    return feats
+    return he.encode_params(enc, pts, scene["mu"], scene["sigma"],
+                            cfg.hash, key=encode_key, stochastic=stochastic,
+                            scales=params.get("lp_scales"))
 
 
 def field_forward(params, scene, pts, dirs_enc, cfg: PipelineConfig,

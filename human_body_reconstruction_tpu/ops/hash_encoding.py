@@ -222,7 +222,8 @@ def hash_encode_cell(table, x, mu, sigma, cfg: HashConfig, scales=None):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def hash_encode_stochastic(table, x, mu, sigma, cfg: HashConfig, key):
+def hash_encode_stochastic(table, x, mu, sigma, cfg: HashConfig, key,
+                           scales=None):
     """Unbiased single-corner estimate of the corner-variant encoding.
 
     Per (point, level) each corner bit d is drawn Bernoulli(frac_d),
@@ -234,7 +235,8 @@ def hash_encode_stochastic(table, x, mu, sigma, cfg: HashConfig, key):
     L, T, F = table.shape
     dim = cfg.dim
     N = x.shape[0]
-    x0, frac = _level_coords(x, mu, sigma, cfg)
+    key = _fold_level_axis(key, cfg)
+    x0, frac = _level_coords(x, mu, sigma, cfg, scales)
     u = _stoch_uniform(key, (dim, L, N), cfg)
     bits = (u < frac).astype(jnp.int32)                          # (dim, L, N)
     coord = (x0 + bits).astype(jnp.uint32)
@@ -301,7 +303,8 @@ def hash_encode(table, x, mu, sigma, cfg: HashConfig, scales=None):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def hash_encode_packed_exact(table, x, mu, sigma, cfg: HashConfig):
+def hash_encode_packed_exact(table, x, mu, sigma, cfg: HashConfig,
+                             scales=None):
     """EXACT 8-corner trilerp with PACKED word reads: one uint32 per
     (corner, level) fetches all F features — F x fewer tile-priced
     lookups than :func:`hash_encode` (the fp32 exact path does F
@@ -322,7 +325,7 @@ def hash_encode_packed_exact(table, x, mu, sigma, cfg: HashConfig):
     else:
         words_tbl = pack_table_bf16(table)
         unpack = _unpack_bf16
-    x0, frac = _level_coords(x, mu, sigma, cfg)
+    x0, frac = _level_coords(x, mu, sigma, cfg, scales)
     offsets = _corner_offsets(dim)                               # (C, dim)
     level_offsets = jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T)
 
@@ -341,9 +344,9 @@ def hash_encode_packed_exact(table, x, mu, sigma, cfg: HashConfig):
     return _features_to_out(acc).astype(table.dtype)
 
 
-def _packed_exact_fwd(table, x, mu, sigma, cfg):
-    return (hash_encode_packed_exact(table, x, mu, sigma, cfg),
-            (table.shape, x, mu, sigma))
+def _packed_exact_fwd(table, x, mu, sigma, cfg, scales=None):
+    return (hash_encode_packed_exact(table, x, mu, sigma, cfg, scales),
+            (table.shape, x, mu, sigma, scales))
 
 
 def _packed_exact_bwd(cfg, res, g):
@@ -352,10 +355,10 @@ def _packed_exact_bwd(cfg, res, g):
     scatter w * g into the corner's F slots.  Only runs when someone
     differentiates the exact path (e.g. SDF eikonal finite differences
     with a packed config) — eval renders never reach it."""
-    tshape, x, mu, sigma = res
+    tshape, x, mu, sigma, scales = res
     L, T, F = tshape
     glfn = _cotangent_to_lfn(g, L, F).astype(jnp.float32)        # (L, F, N)
-    x0, frac = _level_coords(x, mu, sigma, cfg)
+    x0, frac = _level_coords(x, mu, sigma, cfg, scales)
     offsets = _corner_offsets(cfg.dim)
     level_offsets = jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T)
     dflat = jnp.zeros((L * T * F,), jnp.float32)
@@ -370,7 +373,7 @@ def _packed_exact_bwd(cfg, res, g):
             w = w * (frac[d] if off[d] else (1.0 - frac[d]))
         for f in range(F):
             dflat = dflat.at[base + f].add(w * glfn[:, f, :])
-    return dflat.reshape(L, T, F), None, None, None
+    return dflat.reshape(L, T, F), None, None, None, None
 
 
 hash_encode_packed_exact.defvjp(_packed_exact_fwd, _packed_exact_bwd)
@@ -399,7 +402,8 @@ def _unpack_bf16(word, half: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def hash_encode_stochastic_packed(table, x, mu, sigma, cfg: HashConfig, key):
+def hash_encode_stochastic_packed(table, x, mu, sigma, cfg: HashConfig,
+                                  key, scales=None):
     """Packed-pair stochastic encoding: ONE uint32 gather per
     (point, level) — bf16 feature pairs packed into one word — with a
     custom VJP that scatters fp32 gradients straight into the table.
@@ -407,7 +411,7 @@ def hash_encode_stochastic_packed(table, x, mu, sigma, cfg: HashConfig, key):
     Numerically: forward features are bf16-rounded (the TPU analog of
     Instant-NGP's fp16 tables); gradients and optimizer state stay fp32.
     """
-    out, _ = _stoch_packed_fwd_impl(table, x, mu, sigma, cfg, key)
+    out, _ = _stoch_packed_fwd_impl(table, x, mu, sigma, cfg, key, scales)
     return out
 
 
@@ -423,9 +427,20 @@ def _stoch_uniform(key, shape, cfg: HashConfig):
     return jax.random.uniform(key, shape)
 
 
-def _stoch_packed_indices(x, mu, sigma, cfg: HashConfig, key):
-    x0, frac = _level_coords(x, mu, sigma, cfg)
-    u = _stoch_uniform(key, frac.shape, cfg)
+def _fold_level_axis(key, cfg: HashConfig):
+    """Level-parallel RNG: each level-chip draws its own stream (the
+    single-device stream covers all L levels in one draw; under level
+    sharding the chips would otherwise REPEAT one block's bit pattern
+    across every level block).  Distribution-equivalent, not bitwise-
+    equal, to the single-device stream."""
+    if cfg.level_axis is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(cfg.level_axis))
+    return key
+
+
+def _stoch_packed_indices(x, mu, sigma, cfg: HashConfig, key, scales=None):
+    x0, frac = _level_coords(x, mu, sigma, cfg, scales)
+    u = _stoch_uniform(_fold_level_axis(key, cfg), frac.shape, cfg)
     bits = (u < frac).astype(jnp.int32)
     coord = (x0 + bits).astype(jnp.uint32)
     idx = _hash_levels(coord, cfg)                               # (L, N)
@@ -435,10 +450,10 @@ def _stoch_packed_indices(x, mu, sigma, cfg: HashConfig, key):
     return (idx + level_offsets[:, None]).astype(jnp.int32)      # (L, N)
 
 
-def _stoch_packed_fwd_impl(table, x, mu, sigma, cfg, key):
+def _stoch_packed_fwd_impl(table, x, mu, sigma, cfg, key, scales=None):
     L, T, F = table.shape
     N = x.shape[0]
-    rows = _stoch_packed_indices(x, mu, sigma, cfg, key)
+    rows = _stoch_packed_indices(x, mu, sigma, cfg, key, scales)
     packed = pack_table_bf16(table)
     words = jnp.take(packed, rows)                               # (L, N)
     feats = [_unpack_bf16(words, f) for f in range(F)]           # F x (L, N)
@@ -446,14 +461,15 @@ def _stoch_packed_fwd_impl(table, x, mu, sigma, cfg, key):
     return out, rows
 
 
-def _stoch_packed_fwd(table, x, mu, sigma, cfg, key):
-    out, rows = _stoch_packed_fwd_impl(table, x, mu, sigma, cfg, key)
+def _stoch_packed_fwd(table, x, mu, sigma, cfg, key, scales=None):
+    out, rows = _stoch_packed_fwd_impl(table, x, mu, sigma, cfg, key, scales)
     pick = None
     if cfg.grad_subsample:
         # fresh per-step feature choice (a step-invariant choice would
         # starve the unchosen feature of gradient)
-        pick = jax.random.bernoulli(jax.random.fold_in(key, 1),
-                                    0.5, rows.shape)
+        pick = jax.random.bernoulli(
+            jax.random.fold_in(_fold_level_axis(key, cfg), 1), 0.5,
+            rows.shape)
     return out, (rows, pick, table.shape)
 
 
@@ -471,7 +487,7 @@ def _stoch_packed_bwd(cfg, res, g):
         flat_idx = rows * F + pick.astype(jnp.int32)
         dflat = scatter_add_flat(L * T * F, flat_idx, g_sel,
                                  cfg.scatter_strategy)
-        return dflat.reshape(L, T, F), None, None, None, None
+        return dflat.reshape(L, T, F), None, None, None, None, None
     if cfg.scatter_strategy == "random":
         flat = [scatter_add_flat(L * T, rows, glfn[:, f, :], "random")
                 for f in range(F)]
@@ -484,7 +500,7 @@ def _stoch_packed_bwd(cfg, res, g):
         val = jnp.stack([glfn[:, f, :].reshape(-1) for f in range(F)])
         dtable = scatter_add_flat(L * T * F, idx, val,
                                   cfg.scatter_strategy).reshape(L, T, F)
-    return dtable, None, None, None, None
+    return dtable, None, None, None, None, None
 
 
 hash_encode_stochastic_packed.defvjp(_stoch_packed_fwd, _stoch_packed_bwd)
@@ -520,21 +536,22 @@ def _unpack_int8(word, f: int, scale):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def hash_encode_stochastic_int8(table, x, mu, sigma, cfg: HashConfig, key):
+def hash_encode_stochastic_int8(table, x, mu, sigma, cfg: HashConfig,
+                                key, scales=None):
     """Stochastic-corner encoding over a dynamically int8-quantised
     table: ONE uint32 gather per (point, level) carries F (up to 4)
     features.  Straight-through estimator: forward features are
     int8-rounded, gradients scatter fp32 into the master table (the
     standard QAT treatment; the optimizer state stays exact).
     """
-    out, _ = _stoch_int8_fwd_impl(table, x, mu, sigma, cfg, key)
+    out, _ = _stoch_int8_fwd_impl(table, x, mu, sigma, cfg, key, scales)
     return out
 
 
-def _stoch_int8_fwd_impl(table, x, mu, sigma, cfg, key):
+def _stoch_int8_fwd_impl(table, x, mu, sigma, cfg, key, scales=None):
     L, T, F = table.shape
     N = x.shape[0]
-    rows = _stoch_packed_indices(x, mu, sigma, cfg, key)            # (L, N)
+    rows = _stoch_packed_indices(x, mu, sigma, cfg, key, scales)    # (L, N)
     words_tbl, scale = pack_table_int8(table)
     words = jnp.take(words_tbl, rows)                               # (L, N)
     feats = [_unpack_int8(words, f, scale[:, None]) for f in range(F)]
@@ -542,16 +559,17 @@ def _stoch_int8_fwd_impl(table, x, mu, sigma, cfg, key):
     return out.astype(table.dtype), rows
 
 
-def _stoch_int8_fwd(table, x, mu, sigma, cfg, key):
-    out, rows = _stoch_int8_fwd_impl(table, x, mu, sigma, cfg, key)
+def _stoch_int8_fwd(table, x, mu, sigma, cfg, key, scales=None):
+    out, rows = _stoch_int8_fwd_impl(table, x, mu, sigma, cfg, key, scales)
+    kf = _fold_level_axis(key, cfg)
     pick = lsel = None
     if cfg.grad_subsample:
         F = table.shape[-1]
-        pick = jax.random.randint(jax.random.fold_in(key, 1), rows.shape,
+        pick = jax.random.randint(jax.random.fold_in(kf, 1), rows.shape,
                                   0, F)
     if cfg.grad_level_subsample:
         L = table.shape[0]
-        lsel = jax.random.randint(jax.random.fold_in(key, 2),
+        lsel = jax.random.randint(jax.random.fold_in(kf, 2),
                                   (rows.shape[-1],), 0, L)
     return out, (rows, pick, lsel, table.shape)
 
@@ -580,11 +598,11 @@ def _stoch_int8_bwd(cfg, res, g):
             flat_idx = rows_pt * F + pick_pt.astype(jnp.int32)
             dflat = scatter_add_flat(L * T * F, flat_idx, g_pt,
                                      cfg.scatter_strategy)
-            return dflat.reshape(L, T, F), None, None, None, None
+            return dflat.reshape(L, T, F), None, None, None, None, None
         flat_idx = rows * F + pick.astype(jnp.int32)
         dflat = scatter_add_flat(L * T * F, flat_idx, g_sel,
                                  cfg.scatter_strategy)
-        return dflat.reshape(L, T, F), None, None, None, None
+        return dflat.reshape(L, T, F), None, None, None, None, None
     # scalar scatters per feature: measured FASTER than one (1, F)
     # row-window scatter on v5e (77M vs ~45M scalar-contributions/s,
     # scripts/tpu_probe_r2.py)
@@ -599,7 +617,7 @@ def _stoch_int8_bwd(cfg, res, g):
         val = jnp.stack([glfn[:, f, :].reshape(-1) for f in range(F)])
         dflat = scatter_add_flat(L * T * F, idx, val,
                                  cfg.scatter_strategy)
-    return dflat.reshape(L, T, F), None, None, None, None
+    return dflat.reshape(L, T, F), None, None, None, None, None
 
 
 hash_encode_stochastic_int8.defvjp(_stoch_int8_fwd, _stoch_int8_bwd)
@@ -611,30 +629,26 @@ def encode(table, x, mu, sigma, cfg: HashConfig, key=None,
     only) uses the unbiased single-corner estimator and requires ``key``.
     With ``cfg.dense_levels`` > 0 this encodes ONLY the hashed levels —
     use :func:`encode_params` for the full feature vector.  ``scales``
-    (level-parallel local slice) is supported by the exact corner/cell
-    interpolants only."""
-    if scales is not None and (stochastic or cfg.packed):
-        raise ValueError(
-            "dynamic level scales (level-parallel) support the exact "
-            "corner/cell variants only; stochastic/packed/int8 paths "
-            "derive scales statically inside their custom VJPs")
+    (level-parallel local slice) routes every variant; the stochastic
+    paths additionally fold their RNG key by the level-axis index."""
     if cfg.variant == "cell":
         return hash_encode_cell(table, x, mu, sigma, cfg, scales)
     if stochastic:
         if key is None:
             raise ValueError("stochastic hash encoding requires a PRNG key")
         if cfg.packed and cfg.pack_format == "int8":
-            return hash_encode_stochastic_int8(table, x, mu, sigma, cfg, key)
+            return hash_encode_stochastic_int8(table, x, mu, sigma, cfg,
+                                               key, scales)
         if cfg.packed and cfg.features_per_level == 2:
             return hash_encode_stochastic_packed(table, x, mu, sigma, cfg,
-                                                 key)
-        return hash_encode_stochastic(table, x, mu, sigma, cfg, key)
+                                                 key, scales)
+        return hash_encode_stochastic(table, x, mu, sigma, cfg, key, scales)
     if (cfg.packed and cfg.packed_eval and cfg.stochastic_train
             and (cfg.pack_format == "int8" or cfg.features_per_level == 2)):
         # eval-only by construction (training goes through the
-        # stochastic custom-VJP paths above); packed_exact has no VJP —
-        # its word unpacking is bit arithmetic
-        return hash_encode_packed_exact(table, x, mu, sigma, cfg)
+        # stochastic custom-VJP paths above); packed_exact's VJP exists
+        # only for the rare differentiated-eval case (SDF finite diffs)
+        return hash_encode_packed_exact(table, x, mu, sigma, cfg, scales)
     return hash_encode(table, x, mu, sigma, cfg, scales)
 
 
@@ -646,6 +660,13 @@ def encode_params(enc_params, x, mu, sigma, cfg: HashConfig, key=None,
     Feature order: dense (coarsest) levels first, then hashed levels —
     the same coarse-to-fine order as the all-hashed encoding, so the MLP
     sees an identical layout whether or not dense levels are enabled.
+
+    Level parallelism (``cfg.level_axis``; parallel/level_parallel.py):
+    the table is this chip's LEVEL SLICE and ``scales`` its matching
+    resolutions; the hashed feature blocks are all_gathered along the
+    level axis HERE — before concatenation with the dense part, which
+    every level-chip computes identically (replicated, MXU-cheap) — so
+    the final layout matches the single-chip one exactly.
     """
     parts = []
     if cfg.dense_levels > 0:
@@ -658,6 +679,10 @@ def encode_params(enc_params, x, mu, sigma, cfg: HashConfig, key=None,
         parts.append(dense_grid.dense_encode(enc_params["dense"], x, mu,
                                              sigma, cfg))
     if cfg.num_hashed_levels > 0:
-        parts.append(encode(enc_params["table"], x, mu, sigma, cfg,
-                            key=key, stochastic=stochastic, scales=scales))
+        hashed = encode(enc_params["table"], x, mu, sigma, cfg,
+                        key=key, stochastic=stochastic, scales=scales)
+        if cfg.level_axis is not None:
+            hashed = jax.lax.all_gather(hashed, cfg.level_axis, axis=1,
+                                        tiled=True)
+        parts.append(hashed)
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)

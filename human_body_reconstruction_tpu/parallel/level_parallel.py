@@ -33,12 +33,16 @@ place the collectives):
 The geometric ladder is closed under contiguous slicing, so each chip's
 slice is itself a valid multires ladder.
 
-v1 scope: exact "corner"/"cell" interpolants (the reference-semantics
-modes — which are also the most lookup-bound, i.e. where level sharding
-pays most).  The stochastic/packed/int8 training paths derive their
-scales statically inside custom VJPs and keep their per-level RNG
-streams; extending them is a planned follow-up.  ``dense_levels`` must
-be 0 (dense coarse grids are MXU-cheap and replicable — compose later).
+Every encoder variant is supported: the exact corner/cell interpolants
+shard bitwise-equivalently; the stochastic/packed/int8 training paths
+fold their RNG keys by the level-axis index (each chip draws its own
+per-level corner bits — distribution-equivalent, not bitwise-equal, to
+the single-chip stream) and their custom VJPs scatter into the local
+table slice only.  Dense coarse levels (``dense_levels`` > 0) are
+replicated and computed by every level-chip (MXU-cheap); only the
+hashed ladder is sharded, and ``encode_params`` all_gathers the hashed
+blocks BEFORE concatenating the dense part so the MLP layout matches
+the single-chip one exactly.
 
 No reference analog: the reference's parallelism is a single-process
 ``DataParallel`` over the MLP only (train_hash2.py:127).
@@ -79,15 +83,11 @@ def make_lp_mesh(n_data: int, n_level: int, devices=None) -> Mesh:
 def _validate(cfg: PipelineConfig, mesh: Mesh, batch_size: Optional[int]):
     h = cfg.hash
     n_level = mesh.shape[LEVEL_AXIS]
-    if h.dense_levels:
-        raise ValueError("level-parallel v1 requires dense_levels == 0")
-    if h.stochastic_train or h.packed:
+    if h.num_hashed_levels % n_level:
         raise ValueError(
-            "level-parallel v1 supports the exact corner/cell variants "
-            "only (stochastic/packed paths keep static per-level scales)")
-    if h.num_levels % n_level:
-        raise ValueError(f"num_levels {h.num_levels} not divisible by the "
-                         f"level-axis extent {n_level}")
+            f"hashed level count {h.num_hashed_levels} not divisible by "
+            f"the level-axis extent {n_level} (dense levels are "
+            "replicated; only the hashed ladder shards)")
     if batch_size is not None and batch_size % mesh.shape[DATA_AXIS]:
         raise ValueError(f"batch_size {batch_size} not divisible by the "
                          f"data-axis extent {mesh.shape[DATA_AXIS]}")
@@ -124,7 +124,10 @@ def shard_lp_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def level_scales_array(cfg: PipelineConfig):
-    return jnp.asarray(he.level_scales(cfg.hash), jnp.float32)
+    """The HASHED ladder only — the sharded axis (dense levels derive
+    their scales statically on every chip)."""
+    return jnp.asarray(
+        he.level_scales(cfg.hash)[cfg.hash.dense_levels:], jnp.float32)
 
 
 def make_lp_train_step(cfg: PipelineConfig, tx, batch_size: int, mesh: Mesh):

@@ -141,16 +141,102 @@ def test_lp_cell_variant_matches_single_device(dataset):
                                rtol=2e-4, atol=2e-5)
 
 
-def test_lp_rejects_unsupported_modes():
+def test_lp_rejects_bad_shapes():
     mesh = lp.make_lp_mesh(1, 4)
-    with pytest.raises(ValueError, match="exact corner/cell"):
-        lp.make_lp_train_step(small_cfg(stochastic_train=True), None,
-                              256, mesh)
-    with pytest.raises(ValueError, match="divisible"):
+    with pytest.raises(ValueError, match="not divisible"):
         lp.make_lp_train_step(
             dataclasses.replace(small_cfg(),
                                 hash=cfg_lib.HashConfig(num_levels=6,
                                                         n_min=4, n_max=64)),
             None, 256, mesh)
-    with pytest.raises(ValueError, match="dense_levels"):
+    with pytest.raises(ValueError, match="not divisible"):
+        # 8 levels, 2 dense -> 6 hashed, not divisible by 4
         lp.make_lp_train_step(small_cfg(dense_levels=2), None, 256, mesh)
+
+
+def test_lp_dense_plus_hashed_render_matches_single_device(dataset):
+    """Dense coarse levels replicate; only the hashed ladder shards.
+    encode_params must gather the hashed blocks BEFORE concatenating the
+    dense part, or the MLP layout scrambles."""
+    from human_body_reconstruction_tpu.train.trainer import init_params
+
+    cfg = small_cfg(dense_levels=2)        # 2 dense + 6 hashed
+    scene = make_scene(dataset)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B = 64
+    o, d, n = rays_lib.full_image_rays(dataset["H"], dataset["W"],
+                                       dataset["K"], dataset["c2ws"][0])
+    o, d, n = o[:B], d[:B], n[:B]
+    key = jax.random.PRNGKey(3)
+    ref = step_lib.render_chunk(params, scene, o, d, n, key,
+                                cfg=cfg, occ=None, num_samples=16,
+                                hierarchical=False)
+    mesh = lp.make_lp_mesh(2, 3)           # 6 hashed levels over 3 chips
+    state, _ = state_lib.create_train_state(params, cfg.train, 10)
+    sharded = lp.shard_lp_state(state, mesh)
+    render = lp.make_lp_render(cfg, mesh, num_samples=16)
+    got = render(sharded.params, scene, o, d, n, key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_lp_int8_flagship_mode_trains(dataset):
+    """The flagship int8+grad_subsample training path under a 2-D
+    (data, level) mesh: loss decreases and the table stays sharded."""
+    cfg = cfg_lib.PipelineConfig(
+        hash=cfg_lib.HashConfig(num_levels=4, features_per_level=4,
+                                log2_table_size=10, n_min=4, n_max=64,
+                                stochastic_train=True, packed=True,
+                                pack_format="int8", grad_subsample=True),
+        render=cfg_lib.RenderConfig(num_samples=16),
+        train=cfg_lib.TrainConfig(ray_batch=512),
+    )
+    scene = make_scene(dataset)
+    state, tx = build_state(cfg)
+    mesh = lp.make_lp_mesh(2, 2)
+    state = lp.shard_lp_state(state, mesh)
+    step = lp.make_lp_train_step(cfg, tx, batch_size=512, mesh=mesh)
+    first = last = None
+    for _ in range(40):
+        state, m = step(state, scene, dataset["images"], dataset["c2ws"],
+                        dataset["K"], jax.random.PRNGKey(0))
+        if first is None:
+            first = float(m["loss"])
+        last = float(m["loss"])
+    assert last < first * 0.7, (first, last)
+    shard_shapes = {s.data.shape for s in
+                    state.params["table"].addressable_shards}
+    assert shard_shapes == {(2, 1024, 4)}, shard_shapes
+
+
+def test_lp_stochastic_features_unbiased(dataset):
+    """E over keys of the lp stochastic-corner features equals the exact
+    interpolant (the estimator stays unbiased under the per-chip RNG
+    fold)."""
+    from human_body_reconstruction_tpu.models import nerf
+
+    cfg = small_cfg(stochastic_train=True)
+    scene = make_scene(dataset)
+    table = he.init_table(jax.random.PRNGKey(0), cfg.hash)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (32, 3),
+                             minval=-1.0, maxval=1.0)
+    cfg_lp = lp._lp_cfg(cfg)
+    mesh = lp.make_lp_mesh(1, 4)
+    scales = lp.level_scales_array(cfg)
+
+    from jax.sharding import PartitionSpec as P
+
+    def enc(table_local, scales_local, key):
+        p = {"table": table_local, "lp_scales": scales_local}
+        return nerf.encode_points(p, scene, pts, cfg_lp, encode_key=key)
+
+    sharded = jax.shard_map(
+        enc, mesh=mesh,
+        in_specs=(P(lp.LEVEL_AXIS), P(lp.LEVEL_AXIS), P()),
+        out_specs=P(), check_vma=False)
+    keys = jax.random.split(jax.random.PRNGKey(2), 256)
+    feats = jax.vmap(lambda k: sharded(table, scales, k))(keys)
+    exact = nerf.encode_points({"table": table}, scene, pts, cfg)
+    se = np.std(np.asarray(feats), axis=0) / np.sqrt(len(keys))
+    err = np.abs(np.mean(np.asarray(feats), axis=0) - np.asarray(exact))
+    assert np.mean(err <= 4 * se + 1e-6) > 0.97, np.mean(err <= 4 * se)

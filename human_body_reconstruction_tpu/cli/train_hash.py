@@ -104,6 +104,11 @@ def build_parser():
                         "gather/scatter); -1 picks D automatically")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the ray batch over all visible devices")
+    p.add_argument("--level_parallel", type=int, default=0,
+                   help="shard the hash table's level axis over this many "
+                        "chips (tensor parallelism; per-chip lookups "
+                        "divide by the extent); composes with "
+                        "--data_parallel on a 2-D (data, level) mesh")
     p.add_argument("--aot_cache", type=str, default="",
                    help="directory for the disk-backed compiled-executable "
                         "cache (utils/aot.py): re-runs with an identical "
@@ -267,6 +272,7 @@ def main(argv=None):
                       model_name=args.model_name,
                       log_grad_norms=args.plot_grads, eval_ds=eval_ds,
                       total_steps=steps, data_parallel=args.data_parallel,
+                      level_parallel=args.level_parallel,
                       display=args.display,
                       aot_cache=args.aot_cache or None)
     if args.load:

@@ -200,14 +200,14 @@ def make_lp_render(cfg: PipelineConfig, mesh: Mesh, num_samples: int = 128,
     from human_body_reconstruction_tpu.models import nerf
     scales_full = level_scales_array(cfg)
 
-    def shard_fn(params, scene, rays_o, rays_d, dir_norm, key,
+    def shard_fn(params, scene, rays_o, rays_d, dir_norm, key, occ,
                  scales_local):
         p = dict(params)
         p["lp_scales"] = scales_local
         out = nerf.render_rays(p, scene, rays_o, rays_d, dir_norm, key,
                                cfg_lp, num_samples=num_samples,
                                hierarchical=hierarchical, jitter=False,
-                               compute_dtype=compute_dtype)
+                               occ=occ, compute_dtype=compute_dtype)
         return out["fine"]
 
     def build(params):
@@ -215,12 +215,12 @@ def make_lp_render(cfg: PipelineConfig, mesh: Mesh, num_samples: int = 128,
         return jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(spec, P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                      P(), P(LEVEL_AXIS)),
+                      P(), P(), P(LEVEL_AXIS)),
             out_specs=P(DATA_AXIS), check_vma=False)
 
     @jax.jit
-    def render(params, scene, rays_o, rays_d, dir_norm, key):
+    def render(params, scene, rays_o, rays_d, dir_norm, key, occ=None):
         return build(params)(params, scene, rays_o, rays_d, dir_norm, key,
-                             scales_full)
+                             occ, scales_full)
 
     return render

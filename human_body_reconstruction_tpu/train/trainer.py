@@ -81,6 +81,12 @@ class Trainer:
                                        # to num_epochs * steps-per-epoch
     data_parallel: bool = False        # shard the ray batch over all
                                        # devices (1-D mesh, pmean grads)
+    level_parallel: int = 0            # shard the hash table's level
+                                       # axis over this many chips
+                                       # (parallel/level_parallel.py);
+                                       # composes with data_parallel on
+                                       # a 2-D (data, level) mesh using
+                                       # the remaining devices
     display: bool = False              # live preview of eval renders
                                        # (reference train_hash2.py:247-268
                                        # cv2 window): every eval render
@@ -116,7 +122,25 @@ class Trainer:
             self.params, cfg.train, self.total_steps, occ=occ)
         self.mesh = None
         self._dp_step = None
-        if self.data_parallel and len(jax.devices()) > 1:
+        self._lp = None
+        if self.level_parallel > 1:
+            from human_body_reconstruction_tpu.parallel import (
+                level_parallel as lp)
+
+            self._lp = lp
+            n_level = self.level_parallel
+            n_data = (len(jax.devices()) // n_level
+                      if self.data_parallel else 1)
+            self.mesh = lp.make_lp_mesh(max(n_data, 1), n_level)
+            self._dp_step = lp.make_lp_train_step(
+                cfg, self.tx, cfg.train.ray_batch, self.mesh)
+            self.state = lp.shard_lp_state(self.state, self.mesh)
+            self._lp_renders = {}
+            self.log_fn(
+                f"level-parallel over {self.mesh.shape['level']} chips"
+                + (f" x {self.mesh.shape['data']} data shards"
+                   if self.mesh.shape['data'] > 1 else ""))
+        elif self.data_parallel and len(jax.devices()) > 1:
             from human_body_reconstruction_tpu.parallel import (
                 data_parallel as dp)
 
@@ -166,6 +190,8 @@ class Trainer:
             allow_occ=self.cfg.render.occupancy)
         if self.state.occ is not None:
             self._occ_pending = None   # resumed with a live grid
+        if self._lp is not None:       # restore the level sharding
+            self.state = self._lp.shard_lp_state(self.state, self.mesh)
 
     # -- occupancy --------------------------------------------------------
     def _install_occ(self, step_no: int):
@@ -189,8 +215,18 @@ class Trainer:
         if step_no is None:
             step_no = int(self.state.step)
 
+        params_now = self.state.params
+        if self._lp is not None:
+            # the refresh runs outside the lp shard_map: gather the level
+            # shards into a replicated table first (one all_gather per
+            # refresh; the eager mixed-sharding path aborts the runtime)
+            params_now = jax.device_put(
+                params_now,
+                jax.sharding.NamedSharding(self.mesh,
+                                           jax.sharding.PartitionSpec()))
+
         def density_fn(pts):
-            return nerf.density_only(self.state.params, self.scene, pts, cfg)
+            return nerf.density_only(params_now, self.scene, pts, cfg)
 
         occ = occupancy.update(
             self.state.occ, density_fn,
@@ -272,12 +308,16 @@ class Trainer:
         log true PSNR)."""
         cfg = self.cfg
         ds = self.eval_ds if self.eval_ds is not None else self.ds
+        render_fn = self._render_fn
+        if self._lp is not None:
+            render_fn = self._lp_render_fn(num_samples,
+                                           cfg.render.hierarchical)
         img = step_lib.render_image(
             self.state.params, self.scene, ds["H"], ds["W"],
             ds["K"], ds["c2ws"][pose_idx], cfg,
             occ=self.state.occ, num_samples=num_samples,
             hierarchical=cfg.render.hierarchical,
-            render_fn=self._render_fn)
+            render_fn=render_fn)
         gt = np.asarray(ds["images"][pose_idx])
         mse = float(np.mean((img - gt) ** 2))
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
@@ -292,6 +332,20 @@ class Trainer:
             self._show_preview(arr8)
         self.log_fn(f"eval [{tag}] pose {pose_idx}: PSNR {psnr:.2f} dB")
         return psnr
+
+    def _lp_render_fn(self, num_samples: int, hierarchical: bool):
+        """Chunk-renderer over the (data, level) mesh, memoized per
+        static config; signature-compatible with render_image's
+        ``render_fn`` hook (cfg/num_samples/hierarchical are baked)."""
+        key2 = (num_samples, hierarchical)
+        if key2 not in self._lp_renders:
+            r = self._lp.make_lp_render(self.cfg, self.mesh,
+                                        num_samples=num_samples,
+                                        hierarchical=hierarchical)
+            self._lp_renders[key2] = (
+                lambda params, scene, o, d, n, key, occ=None, **_:
+                r(params, scene, o, d, n, key, occ))
+        return self._lp_renders[key2]
 
     def _show_preview(self, arr8):
         """Rolling live preview: overwrite <model>_preview.png every eval

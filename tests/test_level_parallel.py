@@ -240,3 +240,36 @@ def test_lp_stochastic_features_unbiased(dataset):
     se = np.std(np.asarray(feats), axis=0) / np.sqrt(len(keys))
     err = np.abs(np.mean(np.asarray(feats), axis=0) - np.asarray(exact))
     assert np.mean(err <= 4 * se + 1e-6) > 0.97, np.mean(err <= 4 * se)
+
+
+def test_trainer_level_parallel_e2e(tmp_path, dataset):
+    """Full Trainer loop on a (2, 4) mesh: occupancy refresh on sharded
+    params, lp eval render, checkpoint save + re-sharded resume."""
+    from human_body_reconstruction_tpu.train.trainer import Trainer
+
+    cfg = cfg_lib.PipelineConfig(
+        hash=cfg_lib.HashConfig(num_levels=8, log2_table_size=10, n_min=4,
+                                n_max=64),
+        render=cfg_lib.RenderConfig(num_samples=16, occupancy=True,
+                                    occupancy_resolution=16),
+        train=cfg_lib.TrainConfig(ray_batch=512, occ_warmup_steps=5,
+                                  update_rate=10),
+    )
+    tr = Trainer(cfg=cfg, ds=dataset, out_dir=str(tmp_path),
+                 write_metrics=False, data_parallel=True, level_parallel=4,
+                 total_steps=30)
+    assert tr.mesh.shape == {"data": 2, "level": 4}
+    tr.run(30, log_every=0)
+    psnr = tr.eval_render(0, num_samples=16, write_png=False)
+    assert np.isfinite(psnr) and psnr > 5.0, psnr
+    shard_shapes = {s.data.shape for s in
+                    tr.state.params["table"].addressable_shards}
+    assert shard_shapes == {(2, 1024, 2)}, shard_shapes
+    tr.save()
+    tr2 = Trainer(cfg=cfg, ds=dataset, out_dir=str(tmp_path),
+                  write_metrics=False, data_parallel=True, level_parallel=4,
+                  total_steps=30)
+    tr2.load()
+    assert int(np.asarray(tr2.state.step)) == 30
+    tr2.run(2, log_every=0)
+    assert int(np.asarray(tr2.state.step)) == 32

@@ -23,6 +23,10 @@ cannot be mistaken for the reference-semantics speed:
   int8_dense_guided_k32  guided placement with a 32-sample budget —
                    the quality matrix shows 32 guided samples match 48
                    on holdout PSNR at the same wall-clock
+  int8_dense_guided_k32_scan8  the same operating point with 8
+                   optimizer steps fused into ONE dispatch
+                   (train_step_multi lax.scan; bit-exact vs sequential
+                   steps) — amortizes the per-dispatch/sync floor
 
 Guided modes use the default unbiased mass-dt estimator (rate-neutral
 vs clipped dt in a time-adjacent A/B; +0.3 dB at the 240s quality
@@ -39,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build_mode(name, cfg, batch):
+def build_mode(name, cfg, batch, scan=1):
     from human_body_reconstruction_tpu.data import synthetic
     from human_body_reconstruction_tpu.models import mlp as mlp_lib
     from human_body_reconstruction_tpu.ops import hash_encoding as he
@@ -77,14 +81,20 @@ def build_mode(name, cfg, batch):
     key = jax.random.PRNGKey(0)
 
     def run_step(state):
+        if scan > 1:
+            # fused multi-step dispatch: one sync per `scan` optimizer
+            # steps (amortizes the ~35 ms tunnel dispatch+sync floor)
+            return step_lib.train_step_multi(state, scene, ds["images"],
+                                             ds["c2ws"], ds["K"], key, cfg,
+                                             tx, batch, scan)
         return step_lib.train_step(state, scene, ds["images"], ds["c2ws"],
                                    ds["K"], key, cfg, tx, batch)
 
     return state, run_step, occ_frac
 
 
-def time_mode(name, cfg, batch, iters):
-    state, run_step, occ_frac = build_mode(name, cfg, batch)
+def time_mode(name, cfg, batch, iters, scan=1):
+    state, run_step, occ_frac = build_mode(name, cfg, batch, scan)
     # Warmup / compile.  Timings force a host sync every step (through
     # the remote-execution tunnel of this environment, block_until_ready
     # alone can return before the work is actually done).
@@ -96,7 +106,7 @@ def time_mode(name, cfg, batch, iters):
         state, metrics = run_step(state)
         float(metrics["loss"])
     dt = time.perf_counter() - t0
-    return batch * iters / dt, occ_frac
+    return batch * iters * scan / dt, occ_frac
 
 
 def _wait_for_devices(attempts=4, delay_s=90):
@@ -167,18 +177,28 @@ def main():
             hash=int8_hash,
             render=dataclasses.replace(render_occ, occ_guided=True,
                                        occ_probes=64, compact_samples=32),
-            train=C.TrainConfig(ray_batch=32768)), 32768, 20),
+            train=C.TrainConfig(ray_batch=32768)), 32768, 20, 1),
+        # same operating point, 8 optimizer steps fused into one dispatch
+        # (train_step_multi): amortizes the per-dispatch/sync overhead
+        # that is otherwise ~20% of a step through the remote tunnel
+        "int8_dense_guided_k32_scan8": (C.PipelineConfig(
+            hash=int8_hash,
+            render=dataclasses.replace(render_occ, occ_guided=True,
+                                       occ_probes=64, compact_samples=32),
+            train=C.TrainConfig(ray_batch=32768)), 32768, 4, 8),
     }
 
     results = {}
     occ_fracs = {}
-    for name, (cfg, batch, iters) in modes.items():
-        rate, occ_frac = time_mode(name, cfg, batch, iters)
+    for name, spec in modes.items():
+        cfg, batch, iters = spec[:3]
+        scan = spec[3] if len(spec) > 3 else 1
+        rate, occ_frac = time_mode(name, cfg, batch, iters, scan)
         results[name] = round(rate, 1)
         occ_fracs[name] = round(occ_frac, 3)
 
     candidates = ("steady_state", "int8_dense", "int8_dense_guided",
-                  "int8_dense_guided_k32")
+                  "int8_dense_guided_k32", "int8_dense_guided_k32_scan8")
     best = max((m for m in candidates if m in results), key=results.get)
     headline = results[best]
     print(json.dumps({

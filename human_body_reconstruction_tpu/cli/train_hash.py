@@ -109,6 +109,10 @@ def build_parser():
                         "chips (tensor parallelism; per-chip lookups "
                         "divide by the extent); composes with "
                         "--data_parallel on a 2-D (data, level) mesh")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="fuse this many optimizer steps into one device "
+                        "dispatch (lax.scan): amortizes per-dispatch/sync "
+                        "overhead; semantics identical to sequential steps")
     p.add_argument("--aot_cache", type=str, default="",
                    help="directory for the disk-backed compiled-executable "
                         "cache (utils/aot.py): re-runs with an identical "
@@ -274,7 +278,8 @@ def main(argv=None):
                       total_steps=steps, data_parallel=args.data_parallel,
                       level_parallel=args.level_parallel,
                       display=args.display,
-                      aot_cache=args.aot_cache or None)
+                      aot_cache=args.aot_cache or None,
+                      steps_per_call=args.steps_per_call)
     if args.load:
         path = os.path.join(args.out_dir, f"{args.ckpt_name}_ckpt.npz")
         if not os.path.exists(path):

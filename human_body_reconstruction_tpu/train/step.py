@@ -67,11 +67,12 @@ def loss_fn(params, scene, batch, key, cfg: PipelineConfig, occ,
     return loss, aux
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx", "batch_size"),
-                   donate_argnames=("state",))
-def train_step(state: TrainState, scene, images, c2ws, K, key,
-               cfg: PipelineConfig, tx, batch_size: int):
-    """One fused optimization step. Returns (new_state, metrics)."""
+def _train_step_impl(state: TrainState, scene, images, c2ws, K, key,
+                     cfg: PipelineConfig, tx, batch_size: int):
+    """One optimization step (traceable body shared by the jitted
+    single-step and the fused multi-step scan).  The PRNG key is folded
+    with ``state.step`` so every step draws a fresh batch regardless of
+    how steps are grouped into dispatches."""
     compute_dtype = (jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16"
                      else None)
     k_batch, k_render = jax.random.split(jax.random.fold_in(key, state.step))
@@ -83,6 +84,41 @@ def train_step(state: TrainState, scene, images, c2ws, K, key,
     metrics = {"loss": loss, **aux}
     return TrainState(step=state.step + 1, params=params,
                       opt_state=opt_state, occ=state.occ), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "batch_size"),
+                   donate_argnames=("state",))
+def train_step(state: TrainState, scene, images, c2ws, K, key,
+               cfg: PipelineConfig, tx, batch_size: int):
+    """One fused optimization step. Returns (new_state, metrics)."""
+    return _train_step_impl(state, scene, images, c2ws, K, key, cfg, tx,
+                            batch_size)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tx", "batch_size", "n_steps"),
+                   donate_argnames=("state",))
+def train_step_multi(state: TrainState, scene, images, c2ws, K, key,
+                     cfg: PipelineConfig, tx, batch_size: int, n_steps: int):
+    """``n_steps`` fused optimization steps in ONE dispatch (lax.scan).
+
+    Through this environment's remote-execution tunnel every dispatch +
+    host sync costs ~35 ms — a large share of a ~180 ms step — so
+    grouping steps into one executable amortizes it (and on local chips
+    removes per-step dispatch overhead the same way).  Semantics are
+    identical to ``n_steps`` sequential :func:`train_step` calls with
+    the same ``key`` (the per-step fold uses ``state.step``); pinned by
+    ``tests/test_train_e2e.py::test_multi_step_scan_matches_sequential``.
+
+    Returned metrics are the MEAN over the window (same pytree structure
+    as the single-step metrics).
+    """
+    def body(state, _):
+        return _train_step_impl(state, scene, images, c2ws, K, key, cfg,
+                                tx, batch_size)
+
+    state, metrics = jax.lax.scan(body, state, length=n_steps)
+    return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), metrics)
 
 
 @functools.partial(jax.jit,

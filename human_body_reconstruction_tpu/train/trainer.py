@@ -98,6 +98,19 @@ class Trainer:
                                        # minutes-long remote compile on
                                        # re-runs with an identical HLO;
                                        # also settable via HBR_AOT_CACHE
+    steps_per_call: int = 1            # fuse this many optimizer steps
+                                       # into ONE dispatch (lax.scan,
+                                       # step_lib.train_step_multi):
+                                       # amortizes per-dispatch/sync
+                                       # overhead (~35 ms through the
+                                       # remote tunnel). Occupancy
+                                       # refresh / log / eval cadences
+                                       # fire on boundary CROSSINGS so
+                                       # any cadence works; the culling
+                                       # install lands on the first
+                                       # chunk boundary >= warmup (up to
+                                       # steps_per_call-1 late). Ignored
+                                       # on the dp/lp paths.
 
     def __post_init__(self):
         cfg = self.cfg
@@ -151,6 +164,7 @@ class Trainer:
             self.log_fn(f"data-parallel over {self.mesh.devices.size} "
                         "devices")
         self._step_fn = step_lib.train_step
+        self._multi_fn = step_lib.train_step_multi
         self._render_fn = None
         cache_dir = self.aot_cache or os.environ.get("HBR_AOT_CACHE")
         if cache_dir and self._dp_step is None:
@@ -160,6 +174,9 @@ class Trainer:
             self._step_fn = aot.CachedJit(
                 step_lib.train_step, self._aot,
                 static_argnames=("cfg", "tx", "batch_size"))
+            self._multi_fn = aot.CachedJit(
+                step_lib.train_step_multi, self._aot,
+                static_argnames=("cfg", "tx", "batch_size", "n_steps"))
             self._render_fn = aot.CachedJit(
                 step_lib.render_chunk, self._aot,
                 static_argnames=("cfg", "num_samples", "hierarchical"))
@@ -244,15 +261,28 @@ class Trainer:
         # host-side step counter: int(self.state.step) per iteration is a
         # device->host sync that serializes the step pipeline
         start_step = int(self.state.step)
-        for i in range(steps):
+        spc = max(1, self.steps_per_call) if self._dp_step is None else 1
+
+        def crossed(upto: int, n: int, every: int) -> bool:
+            """Did [upto-n, upto] cross a multiple of ``every``?"""
+            return every > 0 and upto // every > (upto - n) // every
+
+        i = 0
+        while i < steps:
             # also covers resume-past-warmup at i=0
             if self._occ_pending is not None and (
                     start_step + i >= cfg.train.occ_warmup_steps):
                 self._install_occ(start_step + i)
+            n = min(spc, steps - i)
             if self._dp_step is not None:
                 self.state, metrics = self._dp_step(
                     self.state, self.scene, self.ds["images"],
                     self.ds["c2ws"], self.ds["K"], self.key)
+            elif n > 1:
+                self.state, metrics = self._multi_fn(
+                    self.state, self.scene, self.ds["images"],
+                    self.ds["c2ws"], self.ds["K"], self.key, cfg=cfg,
+                    tx=self.tx, batch_size=cfg.train.ray_batch, n_steps=n)
             else:
                 # statics by keyword: required by the CachedJit contract,
                 # accepted identically by the plain jitted fn
@@ -260,13 +290,15 @@ class Trainer:
                     self.state, self.scene, self.ds["images"],
                     self.ds["c2ws"], self.ds["K"], self.key, cfg=cfg,
                     tx=self.tx, batch_size=cfg.train.ray_batch)
-            rays_done += cfg.train.ray_batch
+            rays_done += cfg.train.ray_batch * n
+            i += n
 
-            step_no = start_step + i + 1
-            if cfg.render.occupancy and step_no % cfg.train.update_rate == 0:
+            step_no = start_step + i
+            if cfg.render.occupancy and crossed(step_no, n,
+                                                cfg.train.update_rate):
                 self.update_occupancy(step_no)
 
-            if log_every and (i + 1) % log_every == 0:
+            if log_every and crossed(i, n, log_every):
                 jax.block_until_ready(metrics["loss"])
                 dt = time.perf_counter() - t_last
                 rps = rays_done / dt
@@ -294,7 +326,7 @@ class Trainer:
                 t_last = time.perf_counter()
                 rays_done = 0
 
-            if eval_every and (i + 1) % eval_every == 0:
+            if eval_every and crossed(i, n, eval_every):
                 self.eval_render(eval_pose, eval_samples,
                                  tag=f"{step_no:07d}")
                 self.save()

@@ -26,7 +26,7 @@ EOF
 echo "=== aot_probe rc=$?"
 
 # 1. speedrun: wall-clock to 30 dB at the flagship operating point
-timeout 4000 python scripts/speedrun_30db.py --out speedrun_30db.json
+timeout 5400 python scripts/speedrun_30db.py --out speedrun_30db.json
 echo "=== speedrun rc=$?"
 
 # 2. 256-cell occupancy grid A/B at the 240s matrix budget
@@ -34,7 +34,20 @@ timeout 2400 python scripts/quality_matrix.py --budget 240 \
     --modes int8_dense_guided_k32_mass_g256 --out qm_g256.json
 echo "=== qm_g256 rc=$?"
 
-# 3. warm-path mesh export timing (two exports in one process: the
+# 3. regenerate the flagship checkpoint (fresh machine: results/ is not
+#    committed).  Full Trainer-path 6000-step run at the headline
+#    operating point — also revalidates the 30-dB CLI number.
+timeout 5400 python -m human_body_reconstruction_tpu.cli.train_hash \
+    --synthetic --synthetic_subject textured \
+    --num_batch 16384 --num_samples 128 \
+    --stochastic --packed --pack_format int8 --grad_subsample --hw_rng \
+    --num_levels 8 --features_per_level 4 --dense_levels -1 \
+    --occupancy --occ_guided --compact 32 --occ_probes 64 \
+    --steps 6000 --log_every 250 --eval_every 3000 --write \
+    --model_name flagship_k32m --out_dir results/r2_flagship_k32m
+echo "=== flagship_train rc=$?"
+
+# 4. warm-path mesh export timing (two exports in one process: the
 #    second reuses the compiled sweep executable)
 timeout 3000 python - <<'EOF'
 import time, json
@@ -55,7 +68,7 @@ print(json.dumps({"cold_s": round(t1 - t0, 1),
 EOF
 echo "=== mesh rc=$?"
 
-# 3b. mesh export in a FRESH process with the warmed AOT cache: the
+# 4b. mesh export in a FRESH process with the warmed AOT cache: the
 #     cross-process no-compile path (the reason utils/aot.py exists)
 timeout 1800 python - <<'EOF'
 import time, json
@@ -71,6 +84,6 @@ print(json.dumps({"fresh_process_aot_s": round(time.perf_counter() - t0, 1)}))
 EOF
 echo "=== mesh_aot rc=$?"
 
-# 4. bench with the updated modes (gives the driver-comparable number)
+# 5. bench with the updated modes (gives the driver-comparable number)
 timeout 4000 python bench.py
 echo "=== bench rc=$?"

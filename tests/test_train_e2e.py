@@ -163,6 +163,63 @@ def test_training_is_deterministic(dataset):
     np.testing.assert_array_equal(run(), run())
 
 
+def test_multi_step_scan_matches_sequential(dataset):
+    """train_step_multi(n) == n sequential train_step calls, bit-exact:
+    the fused dispatch must not change training semantics (the per-step
+    key fold uses state.step inside the scan body too)."""
+    cfg = small_cfg()
+    scene = make_scene(dataset)
+    key = jax.random.PRNGKey(3)
+
+    def init():
+        state, tx = state_lib.create_train_state(build(cfg), cfg.train, 12)
+        return state, tx
+
+    state_a, tx = init()
+    for _ in range(12):
+        state_a, m_a = step_lib.train_step(
+            state_a, scene, dataset["images"], dataset["c2ws"],
+            dataset["K"], key, cfg, tx, 512)
+
+    state_b, tx_b = init()
+    metrics = []
+    for _ in range(3):
+        state_b, m_b = step_lib.train_step_multi(
+            state_b, scene, dataset["images"], dataset["c2ws"],
+            dataset["K"], key, cfg, tx_b, 512, 4)
+        metrics.append(m_b)
+
+    assert int(state_b.step) == int(state_a.step) == 12
+    np.testing.assert_array_equal(np.asarray(state_a.params["table"]),
+                                  np.asarray(state_b.params["table"]))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)),
+        state_a.params["mlp"], state_b.params["mlp"])
+    assert np.isfinite(float(m_b["loss"]))
+
+
+def test_trainer_steps_per_call(tmp_path, dataset):
+    """Trainer with steps_per_call>1: occupancy warmup installs, cadences
+    fire on crossings, final step count is exact, training converges."""
+    from human_body_reconstruction_tpu.train.trainer import Trainer
+
+    cfg = cfg_lib.PipelineConfig(
+        hash=cfg_lib.HashConfig(num_levels=6, log2_table_size=12, n_min=4,
+                                n_max=128),
+        render=cfg_lib.RenderConfig(num_samples=32, occupancy=True,
+                                    occupancy_resolution=32,
+                                    compact_samples=16),
+        train=cfg_lib.TrainConfig(ray_batch=1024, update_rate=25,
+                                  occ_warmup_steps=30))
+    tr = Trainer(cfg=cfg, ds=dataset, out_dir=str(tmp_path), model_name="s",
+                 log_fn=lambda s: None, steps_per_call=8)
+    tr.run(100, log_every=0)          # 100 % 8 != 0: remainder chunk too
+    assert int(tr.state.step) == 100
+    assert tr.state.occ is not None   # warmup install crossed mid-run
+    psnr = tr.eval_render(0, num_samples=64, write_png=False)
+    assert np.isfinite(psnr) and psnr > 18.0, psnr
+
+
 def test_trainer_warmup_guided_explore_composition(tmp_path):
     """Trainer path with occupancy warmup + guided placement +
     exploration all composed: culling engages mid-run, training stays

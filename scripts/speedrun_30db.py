@@ -44,7 +44,17 @@ def main():
     ap.add_argument("--eval_every", type=int, default=250)
     ap.add_argument("--eval_after_train_db", type=float, default=27.0)
     ap.add_argument("--out", type=str, default="speedrun_30db.json")
+    ap.add_argument("--steps_per_call", type=int, default=1,
+                    help="fuse N optimizer steps per dispatch "
+                         "(train_step_multi); must divide eval_every")
+    ap.add_argument("--aot_cache", type=str, default="",
+                    help="disk-backed executable cache: a warm rerun "
+                         "skips the minutes-long remote compiles "
+                         "(utils/aot.py; the tunnel supports "
+                         "serialization, PERF_NOTES)")
     args = ap.parse_args()
+    if args.eval_every % args.steps_per_call:
+        raise SystemExit("--steps_per_call must divide --eval_every")
 
     from human_body_reconstruction_tpu.data import synthetic
     from human_body_reconstruction_tpu.models import mlp as mlp_lib
@@ -98,10 +108,32 @@ def main():
     occ_pending = occupancy.init_grid(cfg.render.occupancy_resolution,
                                       threshold=0.01)
 
+    step_fn = step_lib.train_step
+    multi_fn = step_lib.train_step_multi
+    render_fn = None
+    if args.aot_cache:
+        from human_body_reconstruction_tpu.utils import aot
+
+        cache = aot.AOTCache(args.aot_cache)
+        step_fn = aot.CachedJit(step_lib.train_step, cache,
+                                static_argnames=("cfg", "tx", "batch_size"))
+        multi_fn = aot.CachedJit(step_lib.train_step_multi, cache,
+                                 static_argnames=("cfg", "tx", "batch_size",
+                                                  "n_steps"))
+        render_fn = aot.CachedJit(step_lib.render_chunk, cache,
+                                  static_argnames=("cfg", "num_samples",
+                                                   "hierarchical"))
+        print(f"aot executable cache at {cache.dir}", flush=True)
+    spc = max(1, args.steps_per_call)
+
     def run(state):
-        return step_lib.train_step(state, scene, train_imgs, train_poses,
-                                   K, jax.random.PRNGKey(1), cfg, tx,
-                                   args.batch)
+        if spc > 1:
+            return multi_fn(state, scene, train_imgs, train_poses, K,
+                            jax.random.PRNGKey(1), cfg=cfg, tx=tx,
+                            batch_size=args.batch, n_steps=spc)
+        return step_fn(state, scene, train_imgs, train_poses, K,
+                       jax.random.PRNGKey(1), cfg=cfg, tx=tx,
+                       batch_size=args.batch)
 
     def occ_refresh(state, steps):
         params_now = state.params
@@ -115,7 +147,7 @@ def main():
     def holdout_db(state):
         img = step_lib.render_image(state.params, scene, H, W, K,
                                     hold_pose, eval_cfg, num_samples=128,
-                                    chunk=32768)
+                                    chunk=32768, render_fn=render_fn)
         mse = float(np.mean((img - hold_img) ** 2))
         return 10 * np.log10(1.0 / max(mse, 1e-12))
 
@@ -131,7 +163,7 @@ def main():
     # invocation explicitly.
     compile_extra = 0.0
     eval_time = 0.0
-    steps = 1
+    steps = spc
     crossed = None
     eval_count = 0
     while steps < args.max_steps:
@@ -141,12 +173,12 @@ def main():
             occ_pending = None
             state, m = run(state)                # fresh HLO (occ in tree)
             float(m["loss"])
-            steps += 1
+            steps += spc
             compile_extra += time.perf_counter() - tc
             continue
         state, m = run(state)
-        steps += 1
-        if state.occ is not None and steps % 64 == 0:
+        steps += spc
+        if state.occ is not None and steps // 64 > (steps - spc) // 64:
             state = occ_refresh(state, steps)
         if steps % args.eval_every == 0:
             te = time.perf_counter()
@@ -183,7 +215,9 @@ def main():
     result = {"target_db": args.target_db, "crossed": crossed,
               "protocol": f"textured {H}x{W}, {args.views} views, "
                           f"batch {args.batch}, flagship int8+dense+"
-                          f"guided K=32 mass-dt"}
+                          f"guided K=32 mass-dt"
+                          + (f", {spc} steps/dispatch" if spc > 1 else "")
+                          + (", warm aot cache" if args.aot_cache else "")}
     print(json.dumps(result), flush=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)

@@ -1,0 +1,30 @@
+#!/bin/bash
+# Warm-cache speedrun: chase the "<10 min wall to 30 dB" north-star.
+#
+# Run A populates the AOT executable cache with every HLO the speedrun
+# needs (train step, post-install culled step, occupancy refresh, eval
+# render) in a short run; run B is the timed full speedrun in a FRESH
+# process that reloads all executables from disk (the tunnel supports
+# serialization: reload is ~0.05 s vs minutes of remote compile).
+# Fused dispatch (25 steps/call) amortizes the ~35 ms tunnel sync.
+#
+# Usage: bash scripts/tpu_batch_speedrun_warm.sh >> /tmp/tpu_speedwarm.log 2>&1
+set -x
+export PYTHONPATH="/root/repo:/root/.axon_site"
+cd /root/repo
+CACHE=/tmp/hbr_aot_speedrun
+
+# A: populate (350 steps crosses warmup=256 -> culled-step HLO, a 64-
+#    crossing refresh, and one eval at step 250; eval gate at 0 dB so
+#    the render HLO compiles here and not in the timed run)
+timeout 3000 python scripts/speedrun_30db.py --steps_per_call 25 \
+    --aot_cache "$CACHE" --max_steps 350 --eval_after_train_db 0 \
+    --out /tmp/speedrun_warmup.json
+echo "=== speedrun_A rc=$?"
+
+# B: the timed warm run (evals gated at 29 dB: each holdout render
+#    costs ~35-50 s and the early ones cannot cross 30)
+timeout 3000 python scripts/speedrun_30db.py --steps_per_call 25 \
+    --aot_cache "$CACHE" --eval_after_train_db 29.0 \
+    --out speedrun_30db_warm.json
+echo "=== speedrun_B rc=$?"

@@ -19,6 +19,7 @@ Coordinates use the same normalisation as the reference grid
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -109,3 +110,27 @@ def update(grid: OccupancyGrid, density_fn, key, mu, sigma, *,
 
 def occupied_fraction(grid: OccupancyGrid):
     return jnp.mean(grid.mask)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "num_cells", "decay"))
+def update_from_field(grid: OccupancyGrid, params, scene, key, cfg,
+                      num_cells: int = 2 ** 18,
+                      decay: float = 0.95) -> OccupancyGrid:
+    """One culling round against the model's own density field, fully
+    jitted as ONE dispatch.
+
+    :func:`update` with an eager ``density_fn`` closure issues dozens of
+    individual device ops per refresh; through this environment's
+    remote-execution tunnel each op pays ~35 ms of dispatch latency, so
+    an eager refresh costs seconds — at the Trainer's 15-step default
+    cadence that was the dominant cost of the whole training loop.
+    Passing ``params`` as a traced argument (instead of closing over
+    them) makes the refresh one cached executable.
+    """
+    from human_body_reconstruction_tpu.models import nerf  # circular-safe
+
+    return update(grid,
+                  lambda p: nerf.density_only(params, scene, p, cfg),
+                  key, scene["mu"], scene["sigma"],
+                  num_cells=num_cells, decay=decay)

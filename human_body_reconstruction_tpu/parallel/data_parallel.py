@@ -40,12 +40,17 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices).reshape(-1), (DATA_AXIS,))
 
 
-def make_dp_train_step(cfg: PipelineConfig, tx, batch_size: int, mesh: Mesh):
+def make_dp_train_step(cfg: PipelineConfig, tx, batch_size: int, mesh: Mesh,
+                       steps_per_call: int = 1):
     """Build a jitted data-parallel train step closed over (cfg, tx, mesh).
 
     The returned function has the same signature/semantics as
     ``train.step.train_step`` (global batch of ``batch_size`` rays per
-    call) but shards the ray work across ``mesh``.
+    call) but shards the ray work across ``mesh``.  With
+    ``steps_per_call`` > 1 it runs that many optimizer steps per dispatch
+    (``lax.scan``, as in ``train.step.train_step_multi``) and returns
+    window-mean metrics — the per-chip RNG stays fresh per step because
+    the key fold uses ``state.step`` inside the sharded body.
     """
     n = mesh.devices.size
     if batch_size % n:
@@ -80,7 +85,14 @@ def make_dp_train_step(cfg: PipelineConfig, tx, batch_size: int, mesh: Mesh):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, scene, images, c2ws, K, key):
-        return sharded(state, scene, images, c2ws, K, key)
+        if steps_per_call <= 1:
+            return sharded(state, scene, images, c2ws, K, key)
+
+        def body(st, _):
+            return sharded(st, scene, images, c2ws, K, key)
+
+        st, metrics = jax.lax.scan(body, state, length=steps_per_call)
+        return st, jax.tree.map(lambda x: jnp.mean(x, axis=0), metrics)
 
     return step
 

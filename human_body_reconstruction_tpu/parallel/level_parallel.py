@@ -130,9 +130,12 @@ def level_scales_array(cfg: PipelineConfig):
         he.level_scales(cfg.hash)[cfg.hash.dense_levels:], jnp.float32)
 
 
-def make_lp_train_step(cfg: PipelineConfig, tx, batch_size: int, mesh: Mesh):
+def make_lp_train_step(cfg: PipelineConfig, tx, batch_size: int, mesh: Mesh,
+                       steps_per_call: int = 1):
     """Jitted level+data-parallel train step, same call signature and
-    semantics as ``train.step.train_step`` (global ray batch per call)."""
+    semantics as ``train.step.train_step`` (global ray batch per call).
+    ``steps_per_call`` > 1 fuses that many optimizer steps into one
+    dispatch (``lax.scan``) and returns window-mean metrics."""
     _validate(cfg, mesh, batch_size)
     cfg_lp = _lp_cfg(cfg)
     n_data = mesh.shape[DATA_AXIS]
@@ -174,8 +177,7 @@ def make_lp_train_step(cfg: PipelineConfig, tx, batch_size: int, mesh: Mesh):
             out_specs=(spec, P(), P()),
             check_vma=False)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state, scene, images, c2ws, K, key):
+    def one_step(state, scene, images, c2ws, K, key):
         grads, loss, aux = build(state.params)(
             state.params, state.occ, scene, images, c2ws, K, key,
             state.step, scales_full)
@@ -184,6 +186,17 @@ def make_lp_train_step(cfg: PipelineConfig, tx, batch_size: int, mesh: Mesh):
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, occ=state.occ)
         return new_state, {"loss": loss, **aux}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, scene, images, c2ws, K, key):
+        if steps_per_call <= 1:
+            return one_step(state, scene, images, c2ws, K, key)
+
+        def body(st, _):
+            return one_step(st, scene, images, c2ws, K, key)
+
+        st, metrics = jax.lax.scan(body, state, length=steps_per_call)
+        return st, jax.tree.map(lambda x: jnp.mean(x, axis=0), metrics)
 
     return step
 

@@ -109,8 +109,9 @@ class Trainer:
                                        # any cadence works; the culling
                                        # install lands on the first
                                        # chunk boundary >= warmup (up to
-                                       # steps_per_call-1 late). Ignored
-                                       # on the dp/lp paths.
+                                       # steps_per_call-1 late). Works on
+                                       # the dp/lp mesh paths too (the
+                                       # scan wraps the shard_map).
 
     def __post_init__(self):
         cfg = self.cfg
@@ -135,7 +136,9 @@ class Trainer:
             self.params, cfg.train, self.total_steps, occ=occ)
         self.mesh = None
         self._dp_step = None
+        self._dp_step1 = None   # single-step variant for remainder chunks
         self._lp = None
+        spc = max(1, self.steps_per_call)
         if self.level_parallel > 1:
             from human_body_reconstruction_tpu.parallel import (
                 level_parallel as lp)
@@ -146,7 +149,11 @@ class Trainer:
                       if self.data_parallel else 1)
             self.mesh = lp.make_lp_mesh(max(n_data, 1), n_level)
             self._dp_step = lp.make_lp_train_step(
-                cfg, self.tx, cfg.train.ray_batch, self.mesh)
+                cfg, self.tx, cfg.train.ray_batch, self.mesh,
+                steps_per_call=spc)
+            if spc > 1:
+                self._dp_step1 = lp.make_lp_train_step(
+                    cfg, self.tx, cfg.train.ray_batch, self.mesh)
             self.state = lp.shard_lp_state(self.state, self.mesh)
             self._lp_renders = {}
             self.log_fn(
@@ -159,7 +166,11 @@ class Trainer:
 
             self.mesh = dp.make_mesh()
             self._dp_step = dp.make_dp_train_step(
-                cfg, self.tx, cfg.train.ray_batch, self.mesh)
+                cfg, self.tx, cfg.train.ray_batch, self.mesh,
+                steps_per_call=spc)
+            if spc > 1:
+                self._dp_step1 = dp.make_dp_train_step(
+                    cfg, self.tx, cfg.train.ray_batch, self.mesh)
             self.state = dp.replicate_to_mesh(self.state, self.mesh)
             self.log_fn(f"data-parallel over {self.mesh.devices.size} "
                         "devices")
@@ -242,13 +253,12 @@ class Trainer:
                 jax.sharding.NamedSharding(self.mesh,
                                            jax.sharding.PartitionSpec()))
 
-        def density_fn(pts):
-            return nerf.density_only(params_now, self.scene, pts, cfg)
-
-        occ = occupancy.update(
-            self.state.occ, density_fn,
-            jax.random.fold_in(self.key, 10_000 + step_no),
-            self.scene["mu"], self.scene["sigma"])
+        # fully-jitted refresh: ONE dispatch instead of an eager op chain
+        # (through the remote tunnel each eager op costs ~35 ms; at the
+        # 15-step default cadence the eager refresh dominated training)
+        occ = occupancy.update_from_field(
+            self.state.occ, params_now, self.scene,
+            jax.random.fold_in(self.key, 10_000 + step_no), cfg)
         self.state = self.state._replace(occ=occ)
 
     # -- training ---------------------------------------------------------
@@ -261,7 +271,7 @@ class Trainer:
         # host-side step counter: int(self.state.step) per iteration is a
         # device->host sync that serializes the step pipeline
         start_step = int(self.state.step)
-        spc = max(1, self.steps_per_call) if self._dp_step is None else 1
+        spc = max(1, self.steps_per_call)
 
         def crossed(upto: int, n: int, every: int) -> bool:
             """Did [upto-n, upto] cross a multiple of ``every``?"""
@@ -275,9 +285,13 @@ class Trainer:
                 self._install_occ(start_step + i)
             n = min(spc, steps - i)
             if self._dp_step is not None:
-                self.state, metrics = self._dp_step(
-                    self.state, self.scene, self.ds["images"],
-                    self.ds["c2ws"], self.ds["K"], self.key)
+                # the fused dp/lp step has a FIXED window; remainder
+                # chunks (steps % spc) run the single-step variant
+                fn = self._dp_step if n == spc else self._dp_step1
+                for _ in range(1 if n == spc else n):
+                    self.state, metrics = fn(
+                        self.state, self.scene, self.ds["images"],
+                        self.ds["c2ws"], self.ds["K"], self.key)
             elif n > 1:
                 self.state, metrics = self._multi_fn(
                     self.state, self.scene, self.ds["images"],

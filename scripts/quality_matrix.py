@@ -161,7 +161,6 @@ def main():
     args = ap.parse_args()
 
     from human_body_reconstruction_tpu.models import mlp as mlp_lib
-    from human_body_reconstruction_tpu.models import nerf
     from human_body_reconstruction_tpu.ops import dense_grid
     from human_body_reconstruction_tpu.ops import hash_encoding as he
     from human_body_reconstruction_tpu.ops import occupancy
@@ -212,12 +211,11 @@ def main():
                                        args.batch)
 
         def occ_refresh(state, steps):
-            params_now = state.params
-            new_occ = occupancy.update(
-                state.occ,
-                lambda p: nerf.density_only(params_now, scene, p, cfg),
-                jax.random.PRNGKey(steps), scene["mu"], scene["sigma"],
-                num_cells=max(2 ** 20, state.occ.density.size // 8))
+            # jitted one-dispatch refresh (eager updates pay ~35 ms of
+            # tunnel latency per op)
+            new_occ = occupancy.update_from_field(
+                state.occ, state.params, scene, jax.random.PRNGKey(steps),
+                cfg, num_cells=max(2 ** 20, state.occ.density.size // 8))
             return state._replace(occ=new_occ)
 
         state, m = run(state)        # compile step (excluded from budget)

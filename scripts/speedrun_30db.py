@@ -58,7 +58,6 @@ def main():
 
     from human_body_reconstruction_tpu.data import synthetic
     from human_body_reconstruction_tpu.models import mlp as mlp_lib
-    from human_body_reconstruction_tpu.models import nerf
     from human_body_reconstruction_tpu.ops import dense_grid
     from human_body_reconstruction_tpu.ops import hash_encoding as he
     from human_body_reconstruction_tpu.ops import occupancy
@@ -136,12 +135,11 @@ def main():
                        batch_size=args.batch)
 
     def occ_refresh(state, steps):
-        params_now = state.params
-        new_occ = occupancy.update(
-            state.occ,
-            lambda p: nerf.density_only(params_now, scene, p, cfg),
-            jax.random.PRNGKey(steps), scene["mu"], scene["sigma"],
-            num_cells=max(2 ** 20, state.occ.density.size // 8))
+        # jitted one-dispatch refresh (an eager update pays ~35 ms of
+        # tunnel latency PER OP — seconds per refresh)
+        new_occ = occupancy.update_from_field(
+            state.occ, state.params, scene, jax.random.PRNGKey(steps),
+            cfg, num_cells=max(2 ** 20, state.occ.density.size // 8))
         return state._replace(occ=new_occ)
 
     def holdout_db(state):

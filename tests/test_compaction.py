@@ -117,3 +117,26 @@ def test_compaction_disabled_at_eval():
                                jitter=False)["fine"]
     np.testing.assert_allclose(np.asarray(with_c), np.asarray(without),
                                atol=1e-6)
+
+
+def test_update_from_field_matches_closure_update():
+    """The jitted one-dispatch refresh (occupancy.update_from_field)
+    matches the eager closure form it replaces (same key, same cell
+    draw, same density field) up to fusion-order float error."""
+    cfg, ds, scene, state = trained_setup(steps=30)
+    occ = occupancy.init_grid(32, threshold=0.05)
+    key = jax.random.PRNGKey(11)
+
+    eager = occupancy.update(
+        occ, lambda p: nerf.density_only(state.params, scene, p, cfg),
+        key, scene["mu"], scene["sigma"], num_cells=4096)
+    jitted = occupancy.update_from_field(occ, state.params, scene, key,
+                                         cfg, num_cells=4096)
+    np.testing.assert_allclose(np.asarray(eager.density),
+                               np.asarray(jitted.density),
+                               rtol=1e-4, atol=1e-5)
+    # masks may flip only where the density sits within float error of
+    # the threshold
+    disagree = np.asarray(eager.mask) != np.asarray(jitted.mask)
+    near = np.abs(np.asarray(eager.density) - occ.threshold) < 1e-4
+    assert not np.any(disagree & ~near)

@@ -100,6 +100,32 @@ def test_lp_step_equal_across_level_extents(dataset):
                                    rtol=1e-5)
 
 
+def test_lp_multi_step_matches_sequential(dataset):
+    """make_lp_train_step(steps_per_call=3) == 3 sequential lp steps,
+    bit-exact on a (2, 2) mesh (same program per step; only the
+    dispatch grouping changes)."""
+    cfg = small_cfg()
+    scene = make_scene(dataset)
+    mesh = lp.make_lp_mesh(2, 2)
+    key = jax.random.PRNGKey(5)
+
+    def run(fused):
+        state, tx = build_state(cfg)
+        state = lp.shard_lp_state(state, mesh)
+        step = lp.make_lp_train_step(cfg, tx, batch_size=256, mesh=mesh,
+                                     steps_per_call=3 if fused else 1)
+        for _ in range(1 if fused else 3):
+            state, m = step(state, scene, dataset["images"],
+                            dataset["c2ws"], dataset["K"], key)
+        assert int(np.asarray(state.step)) == 3
+        return np.asarray(state.params["table"]), m
+
+    tbl_seq, _ = run(fused=False)
+    tbl_fused, m = run(fused=True)
+    np.testing.assert_array_equal(tbl_seq, tbl_fused)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_lp_training_reduces_loss_2d_mesh(dataset):
     cfg = small_cfg()
     scene = make_scene(dataset)

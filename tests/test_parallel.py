@@ -84,6 +84,37 @@ def test_dp_params_stay_replicated_and_identical(dataset):
         np.testing.assert_array_equal(shards[0], s)
 
 
+def test_dp_multi_step_matches_sequential(dataset):
+    """make_dp_train_step(steps_per_call=4) == 4 sequential dp steps,
+    bit-exact (the per-chip key fold uses state.step inside the scan)."""
+    cfg = small_cfg()
+    mesh = dp.make_mesh()
+    scene = make_scene(dataset)
+    key = jax.random.PRNGKey(7)
+
+    def run(fused):
+        state, tx = build_state(cfg, steps=8)
+        state = dp.replicate_to_mesh(state, mesh)
+        if fused:
+            step = dp.make_dp_train_step(cfg, tx, 512, mesh,
+                                         steps_per_call=4)
+            for _ in range(2):
+                state, m = step(state, scene, dataset["images"],
+                                dataset["c2ws"], dataset["K"], key)
+        else:
+            step = dp.make_dp_train_step(cfg, tx, 512, mesh)
+            for _ in range(8):
+                state, m = step(state, scene, dataset["images"],
+                                dataset["c2ws"], dataset["K"], key)
+        assert int(np.asarray(state.step)) == 8
+        return np.asarray(state.params["table"]), m
+
+    tbl_seq, _ = run(fused=False)
+    tbl_fused, m = run(fused=True)
+    np.testing.assert_array_equal(tbl_seq, tbl_fused)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_dp_batch_not_divisible_raises():
     cfg = small_cfg()
     mesh = dp.make_mesh()

@@ -1,0 +1,126 @@
+"""Novel-view rendering CLI + shared checkpoint restoration.
+
+The reference has no standalone inference surface (novel views only
+fall out of train_hash2.py's periodic test renders, :271-298); these
+tests pin the rebuild's serving path: restore a run directory, render
+orbit / dataset cameras, report PSNR, reuse the trained occupancy grid.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _train_tiny(tmp_path, name, extra=()):
+    from human_body_reconstruction_tpu.cli import train_hash
+
+    out = str(tmp_path / "run")
+    train_hash.main([
+        "--synthetic", "--steps", "150", "--num_batch", "1024",
+        "--num_samples", "16", "--hash_size", "12", "--max_res", "128",
+        "--num_levels", "4", "--features_per_level", "2",
+        "--out_dir", out, "--log_every", "0", "--model_name", name,
+        *extra])
+    return out
+
+
+def test_restore_module_roundtrip(tmp_path):
+    """restore() rebuilds (params, scene, cfg) from a run directory via
+    the persisted <model>_config.json — no flag re-declaration."""
+    from human_body_reconstruction_tpu.pipeline import restore
+
+    out = _train_tiny(tmp_path, "r")
+    res = restore.restore(out, "r",
+                          bound_pth=os.path.join(out, "bounds_model.npy"))
+    assert res.cfg_source == "json"
+    assert res.cfg.hash.num_levels == 4
+    assert res.cfg.hash.features_per_level == 2
+    assert res.occ is None                 # trained without occupancy
+    assert np.all(np.isfinite(np.asarray(res.scene["min_bound"])))
+    # params restore into the rebuilt template (shape-checked inside)
+    import jax
+
+    n_leaves = len(jax.tree_util.tree_leaves(res.params))
+    assert n_leaves >= 4
+
+
+def test_restore_loads_occupancy_grid(tmp_path):
+    from human_body_reconstruction_tpu.pipeline import restore
+
+    out = _train_tiny(tmp_path, "o", extra=[
+        "--occupancy", "--occ_warmup", "0", "--update_rate", "50"])
+    res = restore.restore(out, "o",
+                          bound_pth=os.path.join(out, "bounds_model.npy"),
+                          with_occ=True)
+    assert res.occ is not None
+    assert res.occ.density.ndim == 3
+    assert float(res.occ.mask.max()) <= 1.0
+
+
+def test_render_cli_orbit(tmp_path):
+    """Orbit rendering from a checkpoint: PNGs + summary JSON out."""
+    from human_body_reconstruction_tpu.cli import render
+
+    out = _train_tiny(tmp_path, "orb")
+    rdir = str(tmp_path / "renders")
+    summary = render.main([
+        "--ckpt_dir", out, "--model_name", "orb",
+        "--bound_pth", os.path.join(out, "bounds_model.npy"),
+        "--orbit", "3", "--height", "24", "--width", "24",
+        "--num_samples", "16", "--chunk", "288",
+        "--out_dir", rdir])
+    assert summary["num_views"] == 3
+    for rec in summary["views"]:
+        assert os.path.getsize(rec["path"]) > 100
+    with open(os.path.join(rdir, "orb_render.json")) as f:
+        on_disk = json.load(f)
+    assert on_disk["rays_per_sec"] > 0
+
+
+def test_render_cli_dataset_psnr_and_occ(tmp_path):
+    """--data_path rendering reports per-view PSNR vs GT; --use_occ
+    reuses the trained culling grid without wrecking quality."""
+    from human_body_reconstruction_tpu.cli import render
+    from human_body_reconstruction_tpu.data import synthetic
+
+    # dump a renderable on-disk dataset (true poses + GT renders)
+    H = W = 24
+    ds = synthetic.make_dataset(n_views=3, H=H, W=W)
+    focal = float(ds["K"][0, 0])
+    cax = 2.0 * np.arctan(W / (2.0 * focal))
+    from PIL import Image
+
+    (tmp_path / "imgs").mkdir()
+    frames = []
+    for k in range(3):
+        arr = (np.clip(np.asarray(ds["images"][k]), 0, 1) * 255
+               ).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"imgs/r_{k}.png")
+        frames.append({"file_path": f"./imgs/r_{k}",
+                       "transform_matrix":
+                           np.asarray(ds["c2ws"][k]).tolist()})
+    tj = tmp_path / "transforms_test.json"
+    tj.write_text(json.dumps({"camera_angle_x": cax, "frames": frames}))
+
+    out = _train_tiny(tmp_path, "ds", extra=[
+        "--occupancy", "--occ_warmup", "0", "--update_rate", "50"])
+    summary = render.main([
+        "--ckpt_dir", out, "--model_name", "ds",
+        "--bound_pth", os.path.join(out, "bounds_model.npy"),
+        "--data_path", str(tj), "--max_views", "2",
+        "--num_samples", "32", "--chunk", "288", "--use_occ",
+        "--out_dir", str(tmp_path / "r2")])
+    assert summary["use_occ"] is True
+    assert summary["num_views"] == 2
+    assert np.isfinite(summary["mean_psnr"])
+    # 150 steps on the blob scene trains well past "garbage" levels
+    assert summary["mean_psnr"] > 12.0
+
+
+def test_render_cli_rejects_ambiguous_cameras(tmp_path):
+    from human_body_reconstruction_tpu.cli import render
+
+    with pytest.raises(SystemExit):
+        render.main(["--ckpt_dir", str(tmp_path), "--model_name", "x"])

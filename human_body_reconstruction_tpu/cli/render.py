@@ -86,6 +86,10 @@ def build_parser():
     p.add_argument("--out_dir", type=str, default="renders")
     p.add_argument("--tag", type=str, default=None,
                    help="output filename prefix (default: model_name)")
+    p.add_argument("--gif", action="store_true",
+                   help="also write an animated turntable GIF of the "
+                        "rendered views (no ffmpeg needed)")
+    p.add_argument("--gif_fps", type=float, default=8.0)
     return p
 
 
@@ -167,7 +171,7 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     tag = args.tag or args.model_name
     K_j = jax.numpy.asarray(np.asarray(K, np.float32))
-    views, psnrs = [], []
+    views, psnrs, frames = [], [], []
     t0 = time.perf_counter()
     for n_done, i in enumerate(idx):
         img = step_lib.render_image(
@@ -176,8 +180,10 @@ def main(argv=None):
             hierarchical=args.hierarchical, chunk=args.chunk,
             render_fn=render_fn)
         path = os.path.join(args.out_dir, f"{tag}_{i:04d}.png")
-        Image.fromarray(
-            (np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+        frame = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(frame).save(path)
+        if args.gif:
+            frames.append(Image.fromarray(frame))
         rec = {"view": i, "path": path}
         if gt is not None:
             mse = float(np.mean((img - np.asarray(gt[i])) ** 2))
@@ -201,6 +207,14 @@ def main(argv=None):
     }
     if psnrs:
         summary["mean_psnr"] = float(np.mean(psnrs))
+    if args.gif and frames:
+        gif_path = os.path.join(args.out_dir, f"{tag}_turntable.gif")
+        frames[0].save(gif_path, save_all=True, append_images=frames[1:],
+                       duration=int(1000 / max(args.gif_fps, 0.1)), loop=0)
+        summary["gif"] = gif_path
+        print(f"wrote {gif_path}")
+    if render_fn is not None:
+        print(f"aot cache: {render_fn.cache.stats()}")
     out_json = os.path.join(args.out_dir, f"{tag}_render.json")
     with open(out_json, "w") as f:
         json.dump(summary, f, indent=1)

@@ -110,6 +110,8 @@ def density_rgb_grid(params, scene, cfg: PipelineConfig, *,
         sig_parts.append(np.asarray(sig))
     rgb = np.concatenate(rgb_parts)[:total].astype(np.float32) / 255.0
     sigma = np.concatenate(sig_parts)[:total].astype(np.float32)
+    if aot_cache:
+        print(f"aot cache: {fwd.cache.stats()}")
     grid = np.concatenate([rgb, sigma[:, None]], axis=-1).reshape(
         resolution, resolution, resolution, 4)
     if cache_path:

@@ -57,7 +57,17 @@ class AOTCache:
         os.makedirs(self.dir, exist_ok=True)
         self.hits = 0
         self.misses = 0
+        self.load_s = 0.0      # cumulative deserialize+load time (hits)
+        self.compile_s = 0.0   # cumulative compile time (misses)
         self._write_broken = False
+
+    def stats(self) -> str:
+        """One-line summary for logs: separates reload cost from compile
+        cost so a slow cross-process rerun can be attributed (executable
+        deserialization through the remote tunnel vs recompilation vs
+        plain chip-rate drift)."""
+        return (f"{self.hits} hits ({self.load_s:.1f}s load), "
+                f"{self.misses} misses ({self.compile_s:.1f}s compile)")
 
     def _path(self, key: str) -> str:
         return os.path.join(self.dir, key + ".jaxexec")
@@ -69,6 +79,8 @@ class AOTCache:
         a plain compile whenever serialization is unsupported or a
         cached entry fails to load.
         """
+        import time
+
         from jax.experimental import serialize_executable as se
 
         text = lowered.as_text()
@@ -77,6 +89,7 @@ class AOTCache:
         path = self._path(key)
         if os.path.exists(path):
             try:
+                t0 = time.perf_counter()
                 with open(path, "rb") as f:
                     payload, in_tree, out_tree, device_ids = pickle.load(f)
                 # deserialize_and_load defaults to ALL backend devices; a
@@ -87,11 +100,14 @@ class AOTCache:
                 ex = se.deserialize_and_load(payload, in_tree, out_tree,
                                              execution_devices=devices)
                 self.hits += 1
+                self.load_s += time.perf_counter() - t0
                 return ex
             except Exception as e:  # corrupt / backend changed: recompile
                 warnings.warn(f"aot cache: load of {path} failed ({e!r}); "
                               "recompiling")
+        t0 = time.perf_counter()
         compiled = lowered.compile()
+        self.compile_s += time.perf_counter() - t0
         self.misses += 1
         if not self._write_broken:
             try:

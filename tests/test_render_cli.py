@@ -69,11 +69,12 @@ def test_render_cli_orbit(tmp_path):
         "--ckpt_dir", out, "--model_name", "orb",
         "--bound_pth", os.path.join(out, "bounds_model.npy"),
         "--orbit", "3", "--height", "24", "--width", "24",
-        "--num_samples", "16", "--chunk", "288",
+        "--num_samples", "16", "--chunk", "288", "--gif",
         "--out_dir", rdir])
     assert summary["num_views"] == 3
     for rec in summary["views"]:
         assert os.path.getsize(rec["path"]) > 100
+    assert os.path.getsize(summary["gif"]) > 100
     with open(os.path.join(rdir, "orb_render.json")) as f:
         on_disk = json.load(f)
     assert on_disk["rays_per_sec"] > 0

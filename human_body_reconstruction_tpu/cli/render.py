@@ -59,6 +59,12 @@ def build_parser():
     p.add_argument("--use_occ", action="store_true",
                    help="reuse the trained occupancy grid saved in the "
                         "checkpoint for empty-space culling")
+    p.add_argument("--eval_guided", type=int, default=0,
+                   help="render each ray with this many deterministic "
+                        "occupancy-guided samples instead of the full "
+                        "--num_samples ladder (requires --use_occ; "
+                        "--num_samples becomes the probe count); cuts "
+                        "serving latency ~3-4x at a small PSNR cost")
     p.add_argument("--aot_cache", type=str, default="",
                    help="disk-backed compiled-executable cache dir")
     # camera sources
@@ -153,6 +159,17 @@ def main(argv=None):
     if args.use_occ and occ is None:
         print("--use_occ: checkpoint carries no occupancy grid; "
               "rendering unculled")
+    cfg = res.cfg
+    if args.eval_guided > 0:
+        if occ is None:
+            raise SystemExit("--eval_guided needs the trained occupancy "
+                             "grid: pass --use_occ (and train with "
+                             "occupancy enabled)")
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render,
+                                            eval_guided=args.eval_guided))
 
     idx = list(range(0, len(c2ws), max(1, args.stride)))
     if args.max_views is not None:
@@ -176,7 +193,7 @@ def main(argv=None):
     for n_done, i in enumerate(idx):
         img = step_lib.render_image(
             res.params, res.scene, H, W, K_j, jax.numpy.asarray(c2ws[i]),
-            res.cfg, occ=occ, num_samples=args.num_samples,
+            cfg, occ=occ, num_samples=args.num_samples,
             hierarchical=args.hierarchical, chunk=args.chunk,
             render_fn=render_fn)
         path = os.path.join(args.out_dir, f"{tag}_{i:04d}.png")
@@ -200,6 +217,7 @@ def main(argv=None):
         "num_views": len(views),
         "H": H, "W": W,
         "num_samples": args.num_samples,
+        "eval_guided": args.eval_guided,
         "use_occ": bool(args.use_occ and occ is not None),
         "wall_s": round(wall, 2),
         "rays_per_sec": round(len(views) * H * W / max(wall, 1e-9), 1),

@@ -100,14 +100,18 @@ def _render_pass(params, scene, rays_o, rays_d, dir_norm, t,
     K = cfg.render.compact_samples if allow_compact else 0
     mask = None
     dt = dt_override
-    if occ is not None and dt_override is None:
-        # Guided placement (dt_override set) skips the mask lookup
-        # entirely: samples are already placed by the grid, and masking
-        # them would zero the gradient of every exploration sample in an
-        # empty-marked cell — wrongly-culled cells could never recover
-        # (and the B*K lookups are tile-priced, docs/PERF_NOTES.md).
+    if occ is not None and (dt_override is None or not allow_compact):
+        # Guided TRAINING placement (dt_override set, allow_compact on)
+        # skips the mask lookup entirely: samples are already placed by
+        # the grid, and masking them would zero the gradient of every
+        # exploration sample in an empty-marked cell — wrongly-culled
+        # cells could never recover (and the B*K lookups are
+        # tile-priced, docs/PERF_NOTES.md).  Guided EVAL placement
+        # (allow_compact off) has no gradients to protect, so the mask
+        # IS applied there: it zeroes the density of the few
+        # eps-floor samples that leak into empty space.
         mask = occupancy.lookup(occ, pts, scene["mu"], scene["sigma"])
-        if 0 < K < S and not cfg.render.use_sdf:
+        if dt_override is None and 0 < K < S and not cfg.render.use_sdf:
             # stable occupied-first order via top_k (cheaper than a full
             # argsort of S keys, scripts/tpu_profile_step.py); pts are
             # recomputed from the gathered t instead of gathering the
@@ -164,17 +168,25 @@ def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
     # stochastic encoding only while training (jitter on) and if enabled
     enc_key = (k_enc if (jitter and cfg.hash.stochastic_train) else None)
     dt_guided = None
-    if cfg.render.occ_guided and occ is not None and jitter:
+    guided_train = cfg.render.occ_guided and occ is not None and jitter
+    guided_eval = (cfg.render.eval_guided > 0 and occ is not None
+                   and not jitter)
+    if guided_train or guided_eval:
         # occupancy-guided inverse-CDF placement: S probe intervals, a
         # compact_samples (or S) sample budget spread over the occupied
-        # span — no truncation risk, samples only where matter lives
-        K_s = cfg.render.compact_samples or S
+        # span — no truncation risk, samples only where matter lives.
+        # Eval variant (serving): deterministic stratified quantiles of
+        # the occupied CDF, exploration off (no gradients to protect),
+        # budget = cfg.render.eval_guided.
+        K_s = (cfg.render.compact_samples or S) if guided_train \
+            else cfg.render.eval_guided
         t, dt_guided = sampling.occupancy_guided_ts(
             k_strat, rays_o, rays_d, occ, scene["mu"], scene["sigma"],
             cfg.render.near, cfg.render.far, K_s,
             num_probe=cfg.render.occ_probes or S,
-            explore_frac=cfg.render.occ_explore,
-            probe_jitter=cfg.render.occ_probe_jitter,
+            explore_frac=cfg.render.occ_explore if guided_train else 0.0,
+            jitter=jitter,
+            probe_jitter=cfg.render.occ_probe_jitter and jitter,
             dt_mode=cfg.render.occ_dt)
         # Placement depends on (rays, occ grid) only — never on params —
         # so cut it out of the differentiated graph explicitly

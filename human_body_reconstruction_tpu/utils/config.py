@@ -248,6 +248,14 @@ class RenderConfig:
     # 30.18 at 6000) at identical step rate (docs/PERF_NOTES.md
     # "Unbiased mass-dt").
     occ_dt: str = "mass"
+    # EVAL-time guided placement (serving): >0 renders each ray with
+    # this many DETERMINISTIC inverse-CDF samples (stratified quantiles
+    # of the per-ray occupied-probe CDF, exploration off, occupancy mask
+    # applied) instead of the full `num_samples` ladder.  The ladder's
+    # cost is lookups x samples, so a 32-48 budget cuts serving latency
+    # ~3-4x; quality vs the exact ladder is measured per checkpoint
+    # (cli/render.py --eval_guided).  Requires an occupancy grid.
+    eval_guided: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,7 +43,8 @@ def main():
     import os
 
     B = int(os.environ.get("PROF_B", 32768))
-    S, K = 128, 48
+    S = 128
+    K = int(os.environ.get("PROF_K", 48))
     N = B * K
 
     print(f"devices: {jax.devices()}  B={B} S={S} K={K} N=B*K={N}")

@@ -402,3 +402,68 @@ def test_mass_dt_explore_and_empty_rays_stay_finite():
     # dt is clipped to <= h; empty rays get uniform (far-near)/K
     assert (dt <= 1.0 / K + 1e-5).all()
     np.testing.assert_allclose(dt[B:], 1.0 / K, atol=1e-5)
+
+
+def test_eval_guided_render_deterministic_and_close_to_ladder():
+    """Serving-path guided eval (cfg.render.eval_guided): deterministic
+    inverse-CDF placement at jitter=False renders close to the exact
+    masked ladder on the same field/grid, and is bit-reproducible."""
+    import dataclasses
+
+    from human_body_reconstruction_tpu.data import synthetic
+    from human_body_reconstruction_tpu.models import mlp as mlp_lib
+    from human_body_reconstruction_tpu.models import nerf
+    from human_body_reconstruction_tpu.ops import hash_encoding as he
+    from human_body_reconstruction_tpu.ops import rays as rays_lib
+    from human_body_reconstruction_tpu.utils import config as C
+
+    cfg = C.PipelineConfig(
+        hash=C.HashConfig(num_levels=4, log2_table_size=12, n_min=4,
+                          n_max=64),
+        render=C.RenderConfig(num_samples=64, occupancy=True,
+                              occupancy_resolution=32))
+    cfg_g = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, eval_guided=24))
+
+    ds = synthetic.make_dataset(n_views=2, H=24, W=24)
+    lo, hi = rays_lib.scene_bounds(ds["H"], ds["W"], ds["K"], ds["c2ws"],
+                                   ds["near"], ds["far"])
+    scene = {"mu": lo, "sigma": jnp.sqrt(jnp.sum((hi - lo) ** 2)),
+             "min_bound": lo, "max_bound": hi}
+    occ = occupancy.init_grid(32, threshold=0.5)
+    for k in range(3):
+        occ = occupancy.update(occ, lambda p: synthetic.blob_field(p)[1],
+                               jax.random.PRNGKey(k), scene["mu"],
+                               scene["sigma"], num_cells=32 ** 3)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        **he.init_encoder(k1, cfg.hash),
+        "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
+                                  cfg.dir_enc.out_dim),
+    }
+    B = 128
+    o, d, n = rays_lib.full_image_rays(ds["H"], ds["W"], ds["K"],
+                                       ds["c2ws"][0])
+    o, d, n = o[:B], d[:B], n[:B]
+    key = jax.random.PRNGKey(5)
+    exact = nerf.render_rays(params, scene, o, d, n, key, cfg, occ=occ,
+                             jitter=False)["fine"]
+    g1 = nerf.render_rays(params, scene, o, d, n, key, cfg_g, occ=occ,
+                          jitter=False)
+    g2 = nerf.render_rays(params, scene, o, d, n, key, cfg_g, occ=occ,
+                          jitter=False)
+    a, b = np.asarray(exact), np.asarray(g1["fine"])
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    # guided eval integrates the same masked occupied region with 24
+    # quantile samples instead of the 64-ladder: same ballpark everywhere
+    assert np.abs(a - b).mean() < 0.15
+    # deterministic: identical inputs -> identical output
+    np.testing.assert_array_equal(np.asarray(g1["fine"]),
+                                  np.asarray(g2["fine"]))
+    # the sample budget actually shrank (t axis = eval_guided)
+    assert g1["t"].shape[-1] == 24
+    # training renders are untouched by eval_guided (gate is jitter=False)
+    tr_a = nerf.render_rays(params, scene, o, d, n, key, cfg, occ=occ)
+    tr_b = nerf.render_rays(params, scene, o, d, n, key, cfg_g, occ=occ)
+    np.testing.assert_array_equal(np.asarray(tr_a["fine"]),
+                                  np.asarray(tr_b["fine"]))

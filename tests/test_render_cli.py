@@ -125,3 +125,49 @@ def test_render_cli_rejects_ambiguous_cameras(tmp_path):
 
     with pytest.raises(SystemExit):
         render.main(["--ckpt_dir", str(tmp_path), "--model_name", "x"])
+
+
+def test_render_cli_eval_guided(tmp_path):
+    """--eval_guided serves with a deterministic guided sample budget:
+    close to the exact-ladder render on a trained field, and rejected
+    without an occupancy grid."""
+    from human_body_reconstruction_tpu.cli import render
+    from human_body_reconstruction_tpu.data import synthetic
+
+    H = W = 24
+    ds = synthetic.make_dataset(n_views=2, H=H, W=W)
+    focal = float(ds["K"][0, 0])
+    cax = 2.0 * np.arctan(W / (2.0 * focal))
+    from PIL import Image
+
+    (tmp_path / "imgs").mkdir()
+    frames = []
+    for k in range(2):
+        arr = (np.clip(np.asarray(ds["images"][k]), 0, 1) * 255
+               ).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"imgs/r_{k}.png")
+        frames.append({"file_path": f"./imgs/r_{k}",
+                       "transform_matrix":
+                           np.asarray(ds["c2ws"][k]).tolist()})
+    tj = tmp_path / "transforms_test.json"
+    tj.write_text(json.dumps({"camera_angle_x": cax, "frames": frames}))
+
+    out = _train_tiny(tmp_path, "eg", extra=[
+        "--occupancy", "--occ_warmup", "0", "--update_rate", "50"])
+    base = ["--ckpt_dir", out, "--model_name", "eg",
+            "--bound_pth", os.path.join(out, "bounds_model.npy"),
+            "--data_path", str(tj), "--max_views", "1",
+            "--num_samples", "32", "--chunk", "288", "--use_occ"]
+    exact = render.main(base + ["--out_dir", str(tmp_path / "re")])
+    guided = render.main(base + ["--eval_guided", "12",
+                                 "--out_dir", str(tmp_path / "rg")])
+    assert guided["eval_guided"] == 12
+    # the guided budget (12 samples vs the 32-ladder) costs little PSNR
+    assert guided["mean_psnr"] > exact["mean_psnr"] - 3.0
+    # without --use_occ the flag must be rejected, not silently ignored
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        render.main([a for a in base if a != "--use_occ"]
+                    + ["--eval_guided", "12",
+                       "--out_dir", str(tmp_path / "rx")])

@@ -121,6 +121,12 @@ def build_parser():
                    help="with --grad_subsample + int8: also route each "
                         "point's gradient to one random level (scaled Lx, "
                         "unbiased) — one scatter contribution per point")
+    p.add_argument("--grad_level_pair", action="store_true",
+                   help="with --grad_subsample + int8: route each point's "
+                        "gradient to one random level of every consecutive "
+                        "level pair (scaled 2x, unbiased) — halves the "
+                        "backward scatter, gentler than "
+                        "--grad_level_subsample")
     p.add_argument("--grad_subsample", action="store_true",
                    help="with --packed: unbiased single-feature gradient "
                         "scatter (halves backward scatter volume)")
@@ -191,6 +197,7 @@ def make_config(args):
                         pack_format=args.pack_format,
                         grad_subsample=args.grad_subsample,
                         grad_level_subsample=args.grad_level_subsample,
+                        grad_level_pair=args.grad_level_pair,
                         hw_rng=args.hw_rng,
                         scatter_strategy=args.scatter_strategy,
                         dense_levels=max(args.dense_levels, 0))

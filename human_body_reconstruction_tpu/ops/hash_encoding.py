@@ -562,7 +562,7 @@ def _stoch_int8_fwd_impl(table, x, mu, sigma, cfg, key, scales=None):
 def _stoch_int8_fwd(table, x, mu, sigma, cfg, key, scales=None):
     out, rows = _stoch_int8_fwd_impl(table, x, mu, sigma, cfg, key, scales)
     kf = _fold_level_axis(key, cfg)
-    pick = lsel = None
+    pick = lsel = psel = None
     if cfg.grad_subsample:
         F = table.shape[-1]
         pick = jax.random.randint(jax.random.fold_in(kf, 1), rows.shape,
@@ -571,11 +571,16 @@ def _stoch_int8_fwd(table, x, mu, sigma, cfg, key, scales=None):
         L = table.shape[0]
         lsel = jax.random.randint(jax.random.fold_in(kf, 2),
                                   (rows.shape[-1],), 0, L)
-    return out, (rows, pick, lsel, table.shape)
+    if cfg.grad_level_pair:
+        # one level of every consecutive (hashed-)level pair, per point
+        L = table.shape[0]
+        psel = jax.random.randint(jax.random.fold_in(kf, 3),
+                                  (L // 2, rows.shape[-1]), 0, 2)
+    return out, (rows, pick, lsel, psel, table.shape)
 
 
 def _stoch_int8_bwd(cfg, res, g):
-    rows, pick, lsel, tshape = res
+    rows, pick, lsel, psel, tshape = res
     L, T, F = tshape
     glfn = _cotangent_to_lfn(g, L, F).astype(jnp.float32)        # (L, F, N)
     if cfg.grad_subsample:
@@ -585,6 +590,27 @@ def _stoch_int8_bwd(cfg, res, g):
         for f in range(F):
             g_sel = g_sel + glfn[:, f, :] * (pick == f)
         g_sel = g_sel * float(F)                                 # (L, N)
+        if psel is not None:
+            # unbiased 1-of-2 LEVEL-PAIR subsampling: per point route
+            # 2x the gradient of one randomly chosen level of every
+            # consecutive level pair — the scatter volume (the dominant
+            # backward cost, docs/PERF_NOTES.md) halves while every
+            # point still trains one level per resolution pair (far
+            # gentler than grad_level_subsample's 1-of-L routing).
+            # Selection by masked reduction over the 2-axis (no gathers).
+            N = rows.shape[-1]
+            onehot = (psel[:, None, :]
+                      == jnp.arange(2, dtype=psel.dtype)[None, :, None])
+            g_half = jnp.sum(g_sel.reshape(L // 2, 2, N)
+                             * onehot, axis=1) * 2.0             # (L/2, N)
+            rows_half = jnp.sum(rows.reshape(L // 2, 2, N)
+                                * onehot.astype(rows.dtype), axis=1)
+            pick_half = jnp.sum(pick.reshape(L // 2, 2, N)
+                                * onehot.astype(pick.dtype), axis=1)
+            flat_idx = rows_half * F + pick_half.astype(jnp.int32)
+            dflat = scatter_add_flat(L * T * F, flat_idx, g_half,
+                                     cfg.scatter_strategy)
+            return dflat.reshape(L, T, F), None, None, None, None, None
         if lsel is not None:
             # unbiased 1-of-L LEVEL subsampling on top: route L x the
             # gradient of one randomly chosen level per point — the

@@ -76,6 +76,15 @@ class HashConfig:
     # the backward scatter shrinks to one contribution per point.
     # Higher gradient variance; quality-check before enabling.
     grad_level_subsample: bool = False
+    # Milder level subsampling (int8 path, with grad_subsample): split
+    # the hashed levels into consecutive PAIRS and route each point's
+    # gradient to one randomly chosen level of every pair (scaled 2x,
+    # unbiased) — the backward scatter (the dominant step cost,
+    # docs/PERF_NOTES.md) halves, and every point still feeds one level
+    # of each resolution pair (vs grad_level_subsample's one level
+    # total, which costs ~0.9 dB).  Requires an even number of hashed
+    # levels; mutually exclusive with grad_level_subsample.
+    grad_level_pair: bool = False
     # With `packed`: evaluate the EXACT (non-stochastic) path via packed
     # word reads too — one lookup per (corner, level) instead of F.
     # Features are then bf16/int8-rounded exactly as the training
@@ -109,6 +118,24 @@ class HashConfig:
                 "grad_level_subsample requires packed int8 with "
                 "grad_subsample (it extends the 1-of-F routing to "
                 "1-of-(L,F)); without them it would silently do nothing")
+        if self.grad_level_pair:
+            if not (self.grad_subsample and self.pack_format == "int8"
+                    and self.packed):
+                raise ValueError(
+                    "grad_level_pair requires packed int8 with "
+                    "grad_subsample (it extends the 1-of-F routing to "
+                    "1-of-2 levels per consecutive pair)")
+            if self.grad_level_subsample:
+                raise ValueError(
+                    "grad_level_pair and grad_level_subsample are "
+                    "mutually exclusive (pick one level-routing scheme)")
+            if self.dense_levels >= 0 and self.num_hashed_levels % 2:
+                # dense_levels == -1 is the "auto" sentinel some CLIs
+                # resolve AFTER construction; the final replace() with
+                # the resolved count re-runs this check
+                raise ValueError(
+                    "grad_level_pair needs an even number of hashed "
+                    f"levels, got {self.num_hashed_levels}")
         if self.scatter_strategy not in ("random", "sorted", "segsum"):
             raise ValueError(
                 f"unknown scatter_strategy {self.scatter_strategy!r}; "

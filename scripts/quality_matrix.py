@@ -135,6 +135,15 @@ def make_modes(C, dense_grid):
             render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
                                   occ_guided=True, occ_probes=64,
                                   occ_dt="mass")),
+        # 1-of-2 level-pair gradient routing: halves the backward
+        # scatter (the dominant step cost) while every point still
+        # trains one level per resolution pair — the gentle variant of
+        # grad_level_subsample (which costs ~0.9 dB)
+        "int8_dense_guided_k32_mass_lpair": C.PipelineConfig(
+            hash=dataclasses.replace(int8, grad_level_pair=True),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass")),
         # occupancy-grid resolution: finer cells classify the probe
         # ladder better once placement (not culling) is the consumer
         "int8_dense_guided_k32_mass_g256": C.PipelineConfig(

@@ -299,3 +299,57 @@ def test_int8_grad_matches_across_scatter_strategies():
             np.testing.assert_allclose(
                 grads[(strat, sub)], grads[("random", sub)],
                 rtol=1e-5, atol=1e-6)
+
+
+def test_int8_grad_level_pair_unbiased_and_half_sparse():
+    """1-of-2 level-pair routing: E[grad] == full grad; each per-key
+    gradient touches at most one (bucket, feature) per point per level
+    PAIR (half the grad_subsample-only contribution count)."""
+    cfg_full = cfg_int8(grad_subsample=False)
+    cfg_pair = cfg_int8(grad_subsample=True, grad_level_pair=True)
+    table = he.init_table(jax.random.PRNGKey(6), cfg_full)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (6, 3))
+    L = cfg_full.num_levels
+
+    def f(tb, cfg, k):
+        out = he.hash_encode_stochastic_int8(tb, x, 0.0, 1.0, cfg, k)
+        return jnp.sum(out ** 2) / 2.0
+
+    g_full = np.asarray(jax.grad(
+        lambda tb: f(tb, cfg_full, jax.random.PRNGKey(8)))(table))
+    # sparsity: at most one contribution per (point, level-pair)
+    g1 = np.asarray(jax.grad(
+        lambda tb: f(tb, cfg_pair, jax.random.PRNGKey(9)))(table))
+    assert (g1 != 0).sum() <= x.shape[0] * (L // 2)
+    # every point still feeds one level of EVERY pair: each pair block
+    # of the table grad is nonzero somewhere
+    for p in range(L // 2):
+        assert np.abs(g1[2 * p:2 * p + 2]).sum() > 0
+
+    acc = np.zeros_like(g_full)
+    R = 400
+    for r in range(R):
+        k = jax.random.PRNGKey(3000 + r)
+        gs = np.asarray(jax.grad(lambda tb: f(tb, cfg_pair, k))(table))
+        gf = np.asarray(jax.grad(lambda tb: f(tb, cfg_full, k))(table))
+        acc += gs - gf
+    diff = acc / R
+    denom = np.abs(g_full).max() + 1e-12
+    # variance sits between the feature-only (0.25) and the 1-of-L (0.4)
+    # estimators; a missing 2x scale would bias by ~0.5
+    assert np.abs(diff).max() / denom < 0.3
+
+
+def test_grad_level_pair_config_validation():
+    import pytest
+
+    with pytest.raises(ValueError):            # needs grad_subsample
+        cfg_int8(grad_level_pair=True)
+    with pytest.raises(ValueError):            # mutually exclusive
+        cfg_int8(grad_subsample=True, grad_level_pair=True,
+                 grad_level_subsample=True)
+    with pytest.raises(ValueError):            # odd hashed level count
+        cfg_int8(num_levels=5, grad_subsample=True, grad_level_pair=True)
+    # even hashed count after dense split is fine
+    cfg_int8(num_levels=4, dense_levels=2, grad_subsample=True,
+             grad_level_pair=True)

@@ -161,6 +161,12 @@ def build_parser():
                         "position within its interval per step (fixed "
                         "midpoints repeat the same classification "
                         "misses every step)")
+    p.add_argument("--eval_guided", type=int, default=0,
+                   help="with --occupancy: render in-training evals with "
+                        "deterministic occupancy-guided placement at this "
+                        "sample budget (2.5x cheaper at 48, -0.09 dB; "
+                        "serving A/B in docs/PERF_NOTES.md); 0 = exact "
+                        "full ladder")
     p.add_argument("--occ_dt", type=str, default="mass",
                    choices=["clip", "mass"],
                    help="with --occ_guided: dt estimator — 'clip' at "
@@ -218,6 +224,7 @@ def make_config(args):
             compact_samples=args.compact, occ_guided=args.occ_guided,
             occ_probes=args.occ_probes, occ_explore=args.occ_explore,
             occ_probe_jitter=args.occ_probe_jitter, occ_dt=args.occ_dt,
+            eval_guided=args.eval_guided,
             normalization=args.normalization),
         train=C.TrainConfig(
             num_epochs=args.num_epochs, ray_batch=args.num_batch,

@@ -52,6 +52,12 @@ def main():
                          "skips the minutes-long remote compiles "
                          "(utils/aot.py; the tunnel supports "
                          "serialization, PERF_NOTES)")
+    ap.add_argument("--eval_guided", type=int, default=0,
+                    help="gate holdout evals with the K-budget "
+                         "deterministic guided render (2.5x cheaper at "
+                         "K=48, -0.09 dB, PERF_NOTES 'Serving'); the "
+                         "30-dB crossing is still declared ONLY on a "
+                         "full exact-ladder confirmation render")
     args = ap.parse_args()
     if args.eval_every % args.steps_per_call:
         raise SystemExit("--steps_per_call must divide --eval_every")
@@ -96,6 +102,11 @@ def main():
         cfg, hash=dataclasses.replace(cfg.hash, stochastic_train=False),
         render=dataclasses.replace(cfg.render, occupancy=False,
                                    compact_samples=0, occ_guided=False))
+    # cheap gating render: deterministic guided placement at K samples
+    # on the trained occupancy CDF (probes=128 per the serving A/B)
+    guided_cfg = dataclasses.replace(
+        eval_cfg, render=dataclasses.replace(
+            eval_cfg.render, eval_guided=args.eval_guided, occ_probes=128))
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     params = {**he.init_encoder(k1, cfg.hash),
@@ -142,9 +153,13 @@ def main():
             cfg, num_cells=max(2 ** 20, state.occ.density.size // 8))
         return state._replace(occ=new_occ)
 
-    def holdout_db(state):
+    def holdout_db(state, guided: bool = False):
+        use_g = guided and args.eval_guided > 0 and state.occ is not None
         img = step_lib.render_image(state.params, scene, H, W, K,
-                                    hold_pose, eval_cfg, num_samples=128,
+                                    hold_pose,
+                                    guided_cfg if use_g else eval_cfg,
+                                    occ=state.occ if use_g else None,
+                                    num_samples=128,
                                     chunk=32768, render_fn=render_fn)
         mse = float(np.mean((img - hold_img) ** 2))
         return 10 * np.log10(1.0 / max(mse, 1e-12))
@@ -185,19 +200,31 @@ def main():
                 print(f"step {steps}: train {train_db:.2f} dB "
                       f"(eval skipped)", flush=True)
                 continue
-            db = holdout_db(state)
+            use_g = args.eval_guided > 0 and state.occ is not None
+            db = holdout_db(state, guided=use_g)
+            exact_db = None
+            if use_g and db >= args.target_db - 0.25:
+                # guided reads ~0.1 dB low (serving A/B); crossing is
+                # declared only on the exact-ladder confirmation
+                exact_db = holdout_db(state)
             dte = time.perf_counter() - te
             eval_count += 1
             if eval_count == 1:
                 first_eval_s = dte               # includes render compile
             eval_time += dte
             now = time.perf_counter()
-            print(f"step {steps}: train {train_db:.2f} dB, holdout "
-                  f"{db:.2f} dB at wall {now - t_wall0:.0f}s", flush=True)
-            if db >= args.target_db:
+            tag = f"guided{args.eval_guided}" if use_g else "holdout"
+            msg = (f"step {steps}: train {train_db:.2f} dB, {tag} "
+                   f"{db:.2f} dB")
+            if exact_db is not None:
+                msg += f", exact {exact_db:.2f} dB"
+            print(msg + f" at wall {now - t_wall0:.0f}s", flush=True)
+            final_db = exact_db if use_g else db
+            if final_db is not None and final_db >= args.target_db:
                 crossed = {
                     "steps": steps,
-                    "holdout_db": round(db, 2),
+                    "holdout_db": round(final_db, 2),
+                    "gate": tag,
                     "wall_s_incl_compile": round(now - t_wall0, 1),
                     "wall_s_excl_compile": round(
                         now - t_compiled - compile_extra, 1),
@@ -215,7 +242,10 @@ def main():
                           f"batch {args.batch}, flagship int8+dense+"
                           f"guided K=32 mass-dt"
                           + (f", {spc} steps/dispatch" if spc > 1 else "")
-                          + (", warm aot cache" if args.aot_cache else "")}
+                          + (", warm aot cache" if args.aot_cache else "")
+                          + (f", guided{args.eval_guided}-gated evals "
+                             f"(exact-confirmed crossing)"
+                             if args.eval_guided else "")}
     print(json.dumps(result), flush=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)

@@ -14,17 +14,21 @@ export PYTHONPATH="/root/repo:/root/.axon_site"
 cd /root/repo
 CACHE=/tmp/hbr_aot_speedrun
 
-# A: populate (350 steps crosses warmup=256 -> culled-step HLO, a 64-
-#    crossing refresh, and one eval at step 250; eval gate at 0 dB so
-#    the render HLO compiles here and not in the timed run)
+# A: populate (600 steps crosses warmup=256 -> culled-step HLO, a 64-
+#    crossing refresh, the exact render HLO at step 250 (occ not yet
+#    installed -> guided falls back to exact) and the guided render
+#    HLO at step 500; eval gate at 0 dB so every render HLO compiles
+#    here and not in the timed run)
 timeout 3000 python scripts/speedrun_30db.py --steps_per_call 25 \
-    --aot_cache "$CACHE" --max_steps 350 --eval_after_train_db 0 \
-    --out /tmp/speedrun_warmup.json
+    --aot_cache "$CACHE" --max_steps 600 --eval_after_train_db 0 \
+    --eval_guided 48 --out /tmp/speedrun_warmup.json
 echo "=== speedrun_A rc=$?"
 
-# B: the timed warm run (evals gated at 29 dB: each holdout render
-#    costs ~35-50 s and the early ones cannot cross 30)
+# B: the timed warm run.  Gating evals use the guided48 render (~2.5x
+#    cheaper, serving A/B); the crossing itself is exact-confirmed.
+#    Gate at 28.5 train dB: guided evals are cheap enough to watch the
+#    approach, and the exact confirm only fires near the target.
 timeout 3000 python scripts/speedrun_30db.py --steps_per_call 25 \
-    --aot_cache "$CACHE" --eval_after_train_db 29.0 \
-    --out speedrun_30db_warm.json
+    --aot_cache "$CACHE" --eval_after_train_db 28.5 \
+    --eval_guided 48 --out speedrun_30db_warm.json
 echo "=== speedrun_B rc=$?"

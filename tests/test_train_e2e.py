@@ -244,6 +244,15 @@ def test_trainer_warmup_guided_explore_composition(tmp_path):
     assert tr.state.occ is not None
     psnr = tr.eval_render(0, num_samples=64, write_png=False)
     assert np.isfinite(psnr) and psnr > 20.0, psnr
+    # guided EVAL placement (serving mode): deterministic stratified
+    # quantiles of the trained occupancy CDF at a small budget must
+    # render close to the exact ladder (cli/train_hash --eval_guided)
+    import dataclasses
+
+    tr.cfg = dataclasses.replace(
+        tr.cfg, render=dataclasses.replace(tr.cfg.render, eval_guided=12))
+    psnr_g = tr.eval_render(0, num_samples=64, write_png=False)
+    assert np.isfinite(psnr_g) and psnr_g > psnr - 4.0, (psnr, psnr_g)
 
 
 def test_sdf_mode_converges_on_sphere():

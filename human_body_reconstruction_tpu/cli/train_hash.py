@@ -78,9 +78,14 @@ def build_parser():
     p.add_argument("--occupancy", action="store_true",
                    help="enable occupancy-grid culling")
     p.add_argument("--encoder_variant", type=str, default="corner",
-                   choices=["corner", "cell"],
-                   help="hash layout: reference-exact 'corner' or "
-                        "TPU-fast 'cell'")
+                   choices=["corner", "cell", "cp"],
+                   help="encoder: reference-exact 'corner' hash, TPU-fast "
+                        "'cell' hash, or 'cp' rank-decomposed factor "
+                        "lines (no hash table; all-MXU, zero gathers/"
+                        "scatters — ops/lowrank.py)")
+    p.add_argument("--cp_rank", type=int, default=16,
+                   help="with --encoder_variant cp: features per level "
+                        "(rank of each level's CP factorisation)")
     p.add_argument("--stochastic", action="store_true",
                    help="unbiased single-corner hash sampling during "
                         "training (8x fewer gathers)")
@@ -198,6 +203,7 @@ def make_config(args):
                         num_levels=args.num_levels,
                         features_per_level=args.features_per_level,
                         variant=args.encoder_variant,
+                        cp_rank=args.cp_rank,
                         stochastic_train=args.stochastic,
                         packed=args.packed,
                         pack_format=args.pack_format,

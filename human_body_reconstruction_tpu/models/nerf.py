@@ -40,9 +40,8 @@ def encode_points(params, scene, pts, cfg: PipelineConfig, encode_key=None):
     the level axis so the (replicated) MLP sees the full (N, L*F) vector.
     """
     stochastic = encode_key is not None and cfg.hash.stochastic_train
-    enc = {"table": params["table"]}
-    if "dense" in params:
-        enc["dense"] = params["dense"]
+    enc = {k: params[k] for k in ("table", "dense", "lines")
+           if k in params}
     return he.encode_params(enc, pts, scene["mu"], scene["sigma"],
                             cfg.hash, key=encode_key, stochastic=stochastic,
                             scales=params.get("lp_scales"))

@@ -64,11 +64,18 @@ def init_table(key, cfg: HashConfig, dtype=jnp.float32):
 
 def init_encoder(key, cfg: HashConfig, dtype=jnp.float32):
     """Full encoder param dict: {"table": (L_hashed, T, P)} plus
-    {"dense": tuple of (G, G, G, F)} when ``cfg.dense_levels`` > 0."""
+    {"dense": tuple of (G, G, G, F)} when ``cfg.dense_levels`` > 0.
+    variant="cp" stores {"lines": tuple of (dim, G_l, R)} factor lines
+    (ops/lowrank.py) instead of a hash table."""
     from human_body_reconstruction_tpu.ops import dense_grid
 
     k1, k2 = jax.random.split(key)
-    params = {"table": init_table(k1, cfg, dtype)}
+    if cfg.variant == "cp":
+        from human_body_reconstruction_tpu.ops import lowrank
+
+        params = {"lines": lowrank.init_lines(k1, cfg, dtype)}
+    else:
+        params = {"table": init_table(k1, cfg, dtype)}
     if cfg.dense_levels > 0:
         params["dense"] = dense_grid.init_dense(k2, cfg, dtype)
     return params
@@ -705,10 +712,25 @@ def encode_params(enc_params, x, mu, sigma, cfg: HashConfig, key=None,
         parts.append(dense_grid.dense_encode(enc_params["dense"], x, mu,
                                              sigma, cfg))
     if cfg.num_hashed_levels > 0:
-        hashed = encode(enc_params["table"], x, mu, sigma, cfg,
-                        key=key, stochastic=stochastic, scales=scales)
-        if cfg.level_axis is not None:
-            hashed = jax.lax.all_gather(hashed, cfg.level_axis, axis=1,
-                                        tiled=True)
-        parts.append(hashed)
+        if cfg.variant == "cp":
+            from human_body_reconstruction_tpu.ops import lowrank
+
+            if "lines" not in enc_params:
+                raise ValueError(
+                    "variant='cp' but encoder params carry no 'lines' "
+                    "(init with init_encoder)")
+            if cfg.level_axis is not None:
+                raise NotImplementedError(
+                    "level parallelism over CP factor lines is not "
+                    "implemented (the CP path has no per-chip lookup "
+                    "bottleneck to divide)")
+            parts.append(lowrank.cp_encode(enc_params["lines"], x, mu,
+                                           sigma, cfg))
+        else:
+            hashed = encode(enc_params["table"], x, mu, sigma, cfg,
+                            key=key, stochastic=stochastic, scales=scales)
+            if cfg.level_axis is not None:
+                hashed = jax.lax.all_gather(hashed, cfg.level_axis, axis=1,
+                                            tiled=True)
+            parts.append(hashed)
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)

@@ -64,6 +64,12 @@ def make_optimizer(cfg: TrainConfig, total_steps: int, params):
         transforms["dense"] = optax.adam(
             learning_rate=_make_schedule(cfg, cfg.lr_hash, total_steps),
             eps=1e-15)
+    if "lines" in params:
+        # CP factor lines (ops/lowrank.py): embedding-like, same Adam +
+        # schedule as the hash table
+        transforms["lines"] = optax.adam(
+            learning_rate=_make_schedule(cfg, cfg.lr_hash, total_steps),
+            eps=1e-15)
     if "var" in params:
         transforms["var"] = optax.adamw(learning_rate=cfg.lr_var)
 

@@ -36,6 +36,13 @@ class HashConfig:
     #   bucket stores all 2**dim corner features contiguously (single
     #   row-gather; 8x fewer lookups; field is trilinear inside a cell
     #   but may be discontinuous across cell faces under collisions).
+    # "cp": NO hash table at all — each fine level stores a rank-cp_rank
+    #   CP factorisation (three 1-D factor lines, TensoRF-style) and the
+    #   whole encoder evaluates as batched MXU matmuls: zero random
+    #   gathers forward, zero scatters backward, no collisions, no
+    #   stochastic estimators (ops/lowrank.py).  Per-level feature count
+    #   is cp_rank (not features_per_level); coarse levels may still be
+    #   dense 3-D grids via dense_levels.
     variant: str = "corner"
     # Training-time unbiased single-corner sampling (corner variant):
     # each corner bit is Bernoulli(frac), selecting corner c with exactly
@@ -102,6 +109,15 @@ class HashConfig:
     # Pick by measurement (scripts/tpu_probe_scatter.py); exact in all
     # cases (pure reassociation of the same sums).
     scatter_strategy: str = "random"
+    # Rank of each CP level's factor lines (variant="cp"): every fine
+    # level contributes cp_rank features (out_dim grows accordingly; the
+    # MLP input is just wider — MXU-cheap).  16 matches the hash path's
+    # per-level parameter count at T=2^16/F=4 within ~2x.
+    cp_rank: int = 16
+    # Factor-line init U(-s, s).  Features are products of `dim` line
+    # entries, so s=0.1 puts the product at ~1e-3 (near the hash init
+    # regime) while per-line gradients stay ~s**(dim-1).
+    cp_init_scale: float = 0.1
     # Level-parallel (tensor-parallel) encoding: name of the mesh axis
     # that shards the hash table's LEVEL dimension.  Set only inside
     # shard_map bodies (parallel/level_parallel.py builds it for you) —
@@ -111,6 +127,11 @@ class HashConfig:
     level_axis: Optional[str] = None
 
     def __post_init__(self):
+        if self.variant == "cp" and (self.stochastic_train or self.packed):
+            raise ValueError(
+                "variant='cp' has no hash table: the stochastic/packed "
+                "gather estimators do not apply (CP is already exact and "
+                "gather-free) — drop --stochastic/--packed")
         if self.grad_level_subsample and not (
                 self.grad_subsample and self.pack_format == "int8"
                 and self.packed):
@@ -162,6 +183,9 @@ class HashConfig:
 
     @property
     def out_dim(self) -> int:
+        if self.variant == "cp":
+            return (self.dense_levels * self.features_per_level
+                    + self.num_hashed_levels * self.cp_rank)
         return self.num_levels * self.features_per_level
 
 

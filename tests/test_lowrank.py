@@ -1,0 +1,227 @@
+"""CP low-rank factor-line encoder (ops/lowrank.py) tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from human_body_reconstruction_tpu.ops import hash_encoding as he
+from human_body_reconstruction_tpu.ops import lowrank as lr
+from human_body_reconstruction_tpu.utils.config import HashConfig
+
+
+def cfg_cp(**kw):
+    kw.setdefault("num_levels", 4)
+    kw.setdefault("n_min", 4)
+    kw.setdefault("n_max", 32)
+    kw.setdefault("variant", "cp")
+    kw.setdefault("cp_rank", 5)
+    kw.setdefault("dense_bf16", False)   # fp32 for exact parity checks
+    return HashConfig(**kw)
+
+
+def test_line_sizes():
+    cfg = cfg_cp()
+    scales = he.level_scales(cfg)
+    assert lr.cp_line_sizes(cfg) == [int(np.floor(s)) + 2 for s in scales]
+    cfg2 = cfg_cp(dense_levels=2)
+    assert lr.cp_line_sizes(cfg2) == [int(np.floor(s)) + 2
+                                      for s in scales[2:]]
+
+
+def test_out_dim_property():
+    assert cfg_cp().out_dim == 4 * 5
+    assert cfg_cp(dense_levels=2, features_per_level=2).out_dim == (
+        2 * 2 + 2 * 5)
+
+
+def test_cp_rejects_stochastic_and_packed():
+    with pytest.raises(ValueError):
+        cfg_cp(stochastic_train=True)
+    with pytest.raises(ValueError):
+        cfg_cp(packed=True, stochastic_train=True)
+
+
+def test_cp_encode_matches_reference_gather():
+    cfg = cfg_cp()
+    lines = lr.init_lines(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (33, 3), minval=0.02,
+                           maxval=0.98)
+    got = np.asarray(lr.cp_encode(lines, x, 0.0, 1.0, cfg))
+    expect = np.asarray(lr.cp_encode_reference(lines, x, 0.0, 1.0, cfg))
+    assert got.shape == (33, cfg.out_dim)
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-8)
+
+
+def test_cp_encode_normalised_inputs():
+    cfg = cfg_cp()
+    lines = lr.init_lines(jax.random.PRNGKey(2), cfg)
+    mu = np.array([-1.0, 0.5, 2.0], np.float32)
+    sigma = 3.0
+    x = mu + sigma * np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(3), (21, 3)))
+    got = np.asarray(lr.cp_encode(lines, jnp.asarray(x), mu, sigma, cfg))
+    expect = np.asarray(lr.cp_encode_reference(lines, jnp.asarray(x), mu,
+                                               sigma, cfg))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-8)
+
+
+def test_cp_encode_blocked_matches_unblocked():
+    cfg = cfg_cp()
+    lines = lr.init_lines(jax.random.PRNGKey(4), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2500, 3))
+    a = np.asarray(lr.cp_encode(lines, x, 0.0, 1.0, cfg, block=1024))
+    b = np.asarray(lr.cp_encode_reference(lines, x, 0.0, 1.0, cfg))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+
+
+def test_cp_gradients_match_reference():
+    """Autodiff through the block-diagonal matmul formulation equals
+    autodiff through the direct gather formulation — the backward is
+    pure matmul (zero scatters) but must compute the same cotangents."""
+    cfg = cfg_cp()
+    lines = lr.init_lines(jax.random.PRNGKey(6), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (19, 3), minval=0.05,
+                           maxval=0.95)
+    w = jax.random.normal(jax.random.PRNGKey(8), (19, cfg.out_dim))
+
+    g_fast = jax.grad(
+        lambda ls: jnp.sum(lr.cp_encode(ls, x, 0.0, 1.0, cfg) * w))(lines)
+    g_ref = jax.grad(
+        lambda ls: jnp.sum(lr.cp_encode_reference(ls, x, 0.0, 1.0, cfg)
+                           * w))(lines)
+    for a, b in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-7)
+
+
+def test_cp_product_rule_gradient_value():
+    """For a single point and rank 1, d(feat)/d(a[x0]) must be
+    (1-frac_x) * b(y) * c(z) — the CP product rule."""
+    cfg = cfg_cp(num_levels=1, n_min=4, n_max=4, cp_rank=1)
+    lines = lr.init_lines(jax.random.PRNGKey(9), cfg)
+    x = jnp.asarray([[0.3, 0.55, 0.71]])
+
+    def f(ls):
+        return jnp.sum(lr.cp_encode(ls, x, 0.0, 1.0, cfg))
+
+    g = np.asarray(jax.grad(f)(lines)[0])          # (3, G, 1)
+    scale = float(he.level_scales(cfg)[0])
+    xl = np.array([0.3, 0.55, 0.71]) * scale
+    x0 = np.floor(xl).astype(int)
+    frac = xl - x0
+    ln = np.asarray(lines[0])                       # (3, G, 1)
+
+    def lerp(d):
+        return ln[d, x0[d], 0] * (1 - frac[d]) + ln[d, x0[d] + 1, 0] * frac[d]
+
+    # gradient wrt axis-0 line at the floor corner
+    np.testing.assert_allclose(g[0, x0[0], 0],
+                               (1 - frac[0]) * lerp(1) * lerp(2), rtol=1e-5)
+    # two nonzeros per axis
+    assert np.count_nonzero(g[0]) == 2
+    assert np.count_nonzero(g[1]) == 2
+    assert np.count_nonzero(g[2]) == 2
+
+
+def test_encode_params_cp_with_dense_levels():
+    cfg = cfg_cp(dense_levels=2, features_per_level=2)
+    enc = he.init_encoder(jax.random.PRNGKey(0), cfg)
+    assert "table" not in enc
+    assert len(enc["lines"]) == 2 and len(enc["dense"]) == 2
+    x = jax.random.uniform(jax.random.PRNGKey(1), (9, 3))
+    out = he.encode_params(enc, x, 0.0, 1.0, cfg)
+    assert out.shape == (9, cfg.out_dim)
+    from human_body_reconstruction_tpu.ops import dense_grid as dg
+
+    d_only = dg.dense_encode(enc["dense"], x, 0.0, 1.0, cfg)
+    np.testing.assert_allclose(np.asarray(out[:, :4]), np.asarray(d_only),
+                               rtol=1e-6)
+    c_only = lr.cp_encode(enc["lines"], x, 0.0, 1.0, cfg)
+    np.testing.assert_allclose(np.asarray(out[:, 4:]), np.asarray(c_only),
+                               rtol=1e-6)
+
+
+def test_cp_levels_use_shifted_scales():
+    """With dense_levels=D the CP lines cover global levels D..L-1."""
+    cfg_full = cfg_cp(dense_levels=0)
+    cfg_split = cfg_cp(dense_levels=2)
+    lines_full = lr.init_lines(jax.random.PRNGKey(7), cfg_full)
+    x = jax.random.uniform(jax.random.PRNGKey(8), (13, 3))
+    full = np.asarray(lr.cp_encode(lines_full, x, 0.0, 1.0, cfg_full))
+    split = np.asarray(lr.cp_encode(lines_full[2:], x, 0.0, 1.0, cfg_split))
+    np.testing.assert_allclose(split, full[:, 2 * cfg_full.cp_rank:],
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_cp_end_to_end_train_step_converges():
+    """A tiny CP-encoder NeRF optimizes: loss decreases and the factor
+    lines receive gradient through render -> composite -> MSE."""
+    from human_body_reconstruction_tpu.models import mlp as mlp_lib
+    from human_body_reconstruction_tpu.train import state as state_lib
+    from human_body_reconstruction_tpu.train import step as step_lib
+    from human_body_reconstruction_tpu.utils import config as C
+
+    cfg = C.PipelineConfig(
+        hash=HashConfig(num_levels=3, n_min=4, n_max=16, variant="cp",
+                        cp_rank=4, dense_levels=1, dense_bf16=False),
+        render=C.RenderConfig(num_samples=8),
+        train=C.TrainConfig(ray_batch=64))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        **he.init_encoder(k1, cfg.hash),
+        "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
+                                  cfg.dir_enc.out_dim),
+    }
+    scene = {"mu": jnp.zeros(3), "sigma": jnp.asarray(8.0),
+             "min_bound": jnp.zeros(3), "max_bound": jnp.full((3,), 8.0)}
+    lines0 = np.asarray(params["lines"][0])  # snapshot: state is donated
+    state, tx = state_lib.create_train_state(params, cfg.train, 30)
+    images = jnp.clip(jax.random.uniform(jax.random.PRNGKey(2),
+                                         (2, 8, 8, 3)), 0, 1)
+    c2ws = jnp.broadcast_to(jnp.eye(4), (2, 4, 4))
+    K = jnp.asarray([[10.0, 0, 4.0], [0, 10.0, 4.0], [0, 0, 1]])
+    losses = []
+    for i in range(30):
+        state, metrics = step_lib.train_step(
+            state, scene, images, c2ws, K, jax.random.PRNGKey(3),
+            cfg=cfg, tx=tx, batch_size=cfg.train.ray_batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # lines moved (they get gradient + optimizer updates)
+    moved = np.max(np.abs(np.asarray(state.params["lines"][0]) - lines0))
+    assert float(moved) > 0
+
+
+def test_cp_checkpoint_roundtrip(tmp_path):
+    from human_body_reconstruction_tpu.models import mlp as mlp_lib
+    from human_body_reconstruction_tpu.train import checkpoint as ckpt
+    from human_body_reconstruction_tpu.train import state as state_lib
+    from human_body_reconstruction_tpu.utils import config as C
+
+    cfg = C.PipelineConfig(hash=cfg_cp(dense_levels=1))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        **he.init_encoder(k1, cfg.hash),
+        "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
+                                  cfg.dir_enc.out_dim),
+    }
+    state, tx = state_lib.create_train_state(params, cfg.train, 10)
+    path = str(tmp_path / "cp.npz")
+    ckpt.save_train_state(path, state)
+    restored = ckpt.load_train_state(path, state)
+    for a, b in zip(restored.params["lines"], params["lines"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_cp_config_json_roundtrip(tmp_path):
+    from human_body_reconstruction_tpu.utils import config as C
+
+    cfg = C.PipelineConfig(hash=cfg_cp(cp_rank=7, dense_levels=1))
+    p = str(tmp_path / "cfg.json")
+    C.to_json(cfg, p)
+    back = C.from_json(p)
+    assert back.hash.variant == "cp"
+    assert back.hash.cp_rank == 7
+    assert back.hash.out_dim == cfg.hash.out_dim

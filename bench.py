@@ -27,6 +27,11 @@ cannot be mistaken for the reference-semantics speed:
                    optimizer steps fused into ONE dispatch
                    (train_step_multi lax.scan; bit-exact vs sequential
                    steps) — amortizes the per-dispatch/sync floor
+  cp_guided_k32_scan8  the CP low-rank factor-line encoder
+                   (ops/lowrank.py): fine levels as rank-16 factor
+                   lines evaluated by block-diagonal MXU matmuls —
+                   zero gathers/scatters in the encoder (the only
+                   random access left is the occupancy probes)
 
 Guided modes use the default unbiased mass-dt estimator (rate-neutral
 vs clipped dt in a time-adjacent A/B; +0.3 dB at the 240s quality
@@ -144,6 +149,10 @@ def main():
     import dataclasses
     int8_hash = dataclasses.replace(
         int8_hash, dense_levels=dense_grid.auto_dense_levels(int8_hash))
+    cp_hash = C.HashConfig(num_levels=8, n_min=16, n_max=2048,
+                           variant="cp", cp_rank=16)
+    cp_hash = dataclasses.replace(
+        cp_hash, dense_levels=dense_grid.auto_dense_levels(cp_hash))
 
     modes = {
         "exact": (C.PipelineConfig(
@@ -183,6 +192,16 @@ def main():
         # that is otherwise ~20% of a step through the remote tunnel
         "int8_dense_guided_k32_scan8": (C.PipelineConfig(
             hash=int8_hash,
+            render=dataclasses.replace(render_occ, occ_guided=True,
+                                       occ_probes=64, compact_samples=32),
+            train=C.TrainConfig(ray_batch=32768)), 32768, 4, 8),
+        # CP low-rank factor-line encoder (ops/lowrank.py): the fine
+        # levels are rank-16 factor lines evaluated as block-diagonal
+        # MXU matmuls — ZERO random gathers forward and ZERO scatters
+        # backward; the only remaining random memory access in the step
+        # is the 64 occupancy probes per ray
+        "cp_guided_k32_scan8": (C.PipelineConfig(
+            hash=cp_hash,
             render=dataclasses.replace(render_occ, occ_guided=True,
                                        occ_probes=64, compact_samples=32),
             train=C.TrainConfig(ray_batch=32768)), 32768, 4, 8),

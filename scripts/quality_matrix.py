@@ -69,6 +69,11 @@ def make_modes(C, dense_grid):
                         grad_subsample=True, hw_rng=True)
     h16d = dataclasses.replace(
         h16d, dense_levels=dense_grid.auto_dense_levels(h16d))
+    cp16 = C.HashConfig(num_levels=8, n_min=16, n_max=2048, variant="cp",
+                        cp_rank=16)
+    cp16 = dataclasses.replace(
+        cp16, dense_levels=dense_grid.auto_dense_levels(cp16))
+    cp32 = dataclasses.replace(cp16, cp_rank=32)
     return {
         "exact": C.PipelineConfig(
             hash=C.HashConfig(**h), render=C.RenderConfig(**r)),
@@ -141,6 +146,21 @@ def make_modes(C, dense_grid):
         # grad_level_subsample (which costs ~0.9 dB)
         "int8_dense_guided_k32_mass_lpair": C.PipelineConfig(
             hash=dataclasses.replace(int8, grad_level_pair=True),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass")),
+        # CP low-rank factor-line encoder (ops/lowrank.py): zero random
+        # gathers/scatters — the all-MXU encoding.  Unculled ladder and
+        # the flagship guided operating point, at two ranks.
+        "cp_r16": C.PipelineConfig(
+            hash=cp16, render=C.RenderConfig(**r)),
+        "cp_r16_guided_k32_mass": C.PipelineConfig(
+            hash=cp16,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass")),
+        "cp_r32_guided_k32_mass": C.PipelineConfig(
+            hash=cp32,
             render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
                                   occ_guided=True, occ_probes=64,
                                   occ_dt="mass")),

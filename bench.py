@@ -134,7 +134,14 @@ def main():
     from human_body_reconstruction_tpu.ops import dense_grid
     from human_body_reconstruction_tpu.utils import config as C
 
+    import argparse
     import sys
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", type=str, default="",
+                    help="comma-separated subset of modes to run (default "
+                         "all); the headline is still picked from the "
+                         "quality-validated candidates that ran")
+    args = ap.parse_args()
     print("devices:", _wait_for_devices(), file=sys.stderr, flush=True)
     num_samples = 128
     render_plain = C.RenderConfig(num_samples=num_samples)
@@ -207,6 +214,13 @@ def main():
             train=C.TrainConfig(ray_batch=32768)), 32768, 4, 8),
     }
 
+    if args.modes:
+        keep = args.modes.split(",")
+        unknown = [m for m in keep if m not in modes]
+        if unknown:
+            raise SystemExit(f"unknown modes {unknown}; have {list(modes)}")
+        modes = {k: v for k, v in modes.items() if k in keep}
+
     results = {}
     occ_fracs = {}
     for name, spec in modes.items():
@@ -216,6 +230,9 @@ def main():
         results[name] = round(rate, 1)
         occ_fracs[name] = round(occ_frac, 3)
 
+    # headline candidates are quality-validated operating points ONLY
+    # (cp_guided_k32_scan8 joins once the hard-scene quality matrix
+    # validates the CP encoder at this budget)
     candidates = ("steady_state", "int8_dense", "int8_dense_guided",
                   "int8_dense_guided_k32", "int8_dense_guided_k32_scan8")
     best = max((m for m in candidates if m in results), key=results.get)
@@ -228,9 +245,11 @@ def main():
         "vs_baseline": round(headline / 5e6, 4),
         "modes": results,
         "note": ("'exact' is the reference-semantics interpolant with no "
-                 "culling; 'steady_state'/'int8_dense' are the TPU "
-                 "operating points with a converged occupancy grid "
-                 f"(occupied fraction {occ_fracs['steady_state']:.2f})"),
+                 "culling; the other modes are TPU operating points with "
+                 "a converged occupancy grid (occupied fraction "
+                 f"{occ_fracs[best]:.2f}); every non-exact operating "
+                 "point is quality-validated on the hard textured scene "
+                 "(quality_matrix.json, docs/PERF_NOTES.md)"),
     }))
 
 

@@ -52,7 +52,7 @@ def build_parser():
                         "cache: repeat exports at the same "
                         "config/resolution skip the sweep's remote compile")
     p.add_argument("--encoder_variant", type=str, default=None,
-                   choices=["corner", "cell"],
+                   choices=["corner", "cell", "cp"],
                    help="hash layout used at training time (auto-restored "
                         "from <model_name>_config.json when present)")
     p.add_argument("--rgb_elu", action="store_true",

@@ -45,7 +45,7 @@ def build_parser():
     p.add_argument("--max_res", type=float, default=2048)
     p.add_argument("--hash_size", type=float, default=16)
     p.add_argument("--encoder_variant", type=str, default=None,
-                   choices=["corner", "cell"])
+                   choices=["corner", "cell", "cp"])
     p.add_argument("--rgb_elu", action="store_true")
     p.add_argument("--normalization", type=str, default=None,
                    choices=["diagonal", "unit_box"],

@@ -164,6 +164,23 @@ def make_modes(C, dense_grid):
             render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
                                   occ_guided=True, occ_probes=64,
                                   occ_dt="mass")),
+        "cp_r48_guided_k32_mass": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=48),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass")),
+        "cp_r32_guided_k32_mass_p128": C.PipelineConfig(
+            hash=cp32,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=128,
+                                  occ_dt="mass")),
+        # K budget: with placement quality no longer collision-limited,
+        # does the guided sample budget move the knee?
+        "cp_r32_guided_k48_mass": C.PipelineConfig(
+            hash=cp32,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass")),
         # occupancy-grid resolution: finer cells classify the probe
         # ladder better once placement (not culling) is the consumer
         "int8_dense_guided_k32_mass_g256": C.PipelineConfig(

@@ -58,6 +58,13 @@ def main():
                          "K=48, -0.09 dB, PERF_NOTES 'Serving'); the "
                          "30-dB crossing is still declared ONLY on a "
                          "full exact-ladder confirmation render")
+    ap.add_argument("--encoder", type=str, default="int8",
+                    choices=["int8", "cp"],
+                    help="int8: the hash flagship (int8 packed gathers + "
+                         "dense coarse levels); cp: the all-MXU CP "
+                         "factor-line encoder (ops/lowrank.py; +2.6-3.7 "
+                         "dB at the 240s quality budget, qm_cp.json)")
+    ap.add_argument("--cp_rank", type=int, default=32)
     args = ap.parse_args()
     if args.eval_every % args.steps_per_call:
         raise SystemExit("--steps_per_call must divide --eval_every")
@@ -84,15 +91,19 @@ def main():
     scene = {"mu": lo, "sigma": jnp.sqrt(jnp.sum((hi - lo) ** 2)),
              "min_bound": lo, "max_bound": hi}
 
-    int8 = C.HashConfig(num_levels=8, features_per_level=4, n_min=16,
-                        n_max=2048, log2_table_size=16,
-                        stochastic_train=True, packed=True,
-                        pack_format="int8", grad_subsample=True,
-                        hw_rng=True)
-    int8 = dataclasses.replace(
-        int8, dense_levels=dense_grid.auto_dense_levels(int8))
+    if args.encoder == "cp":
+        enc = C.HashConfig(num_levels=8, n_min=16, n_max=2048,
+                           variant="cp", cp_rank=args.cp_rank)
+    else:
+        enc = C.HashConfig(num_levels=8, features_per_level=4, n_min=16,
+                           n_max=2048, log2_table_size=16,
+                           stochastic_train=True, packed=True,
+                           pack_format="int8", grad_subsample=True,
+                           hw_rng=True)
+    enc = dataclasses.replace(
+        enc, dense_levels=dense_grid.auto_dense_levels(enc))
     cfg = C.PipelineConfig(
-        hash=int8,
+        hash=enc,
         render=C.RenderConfig(num_samples=128, occupancy=True,
                               occupancy_resolution=128,
                               compact_samples=32, occ_guided=True,
@@ -237,9 +248,11 @@ def main():
                     },
                 }
                 break
+    enc_tag = (f"cp_r{args.cp_rank}" if args.encoder == "cp"
+               else "int8") + "+dense"
     result = {"target_db": args.target_db, "crossed": crossed,
               "protocol": f"textured {H}x{W}, {args.views} views, "
-                          f"batch {args.batch}, flagship int8+dense+"
+                          f"batch {args.batch}, {enc_tag}+"
                           f"guided K=32 mass-dt"
                           + (f", {spc} steps/dispatch" if spc > 1 else "")
                           + (", warm aot cache" if args.aot_cache else "")

@@ -215,6 +215,42 @@ def test_cp_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_cp_restore_and_density_sweep(tmp_path):
+    """A CP-trained checkpoint restores through pipeline.restore (config
+    json pins variant/rank) and drives the mesh-export density sweep."""
+    import os
+
+    from human_body_reconstruction_tpu.models import mlp as mlp_lib
+    from human_body_reconstruction_tpu.models import nerf
+    from human_body_reconstruction_tpu.pipeline import restore as restore_lib
+    from human_body_reconstruction_tpu.train import checkpoint as ckpt
+    from human_body_reconstruction_tpu.train import state as state_lib
+    from human_body_reconstruction_tpu.utils import config as C
+
+    cfg = C.PipelineConfig(hash=cfg_cp(dense_levels=1))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        **he.init_encoder(k1, cfg.hash),
+        "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
+                                  cfg.dir_enc.out_dim),
+    }
+    state, _ = state_lib.create_train_state(params, cfg.train, 10)
+    out = str(tmp_path)
+    ckpt.save_train_state(os.path.join(out, "m_ckpt.npz"), state)
+    C.to_json(cfg, os.path.join(out, "m_config.json"))
+    ckpt.save_bounds(os.path.join(out, "bounds_model.npy"),
+                     np.zeros(3), np.full(3, 8.0))
+
+    r = restore_lib.restore(out, "m",
+                            bound_pth=os.path.join(out, "bounds_model.npy"))
+    assert r.cfg.hash.variant == "cp"
+    assert len(r.params["lines"]) == len(params["lines"])
+    pts = jnp.asarray(np.random.RandomState(0).uniform(0, 8, (64, 3)),
+                      jnp.float32)
+    d = nerf.density_only(r.params, r.scene, pts, r.cfg)
+    assert np.isfinite(np.asarray(d)).all()
+
+
 def test_cp_config_json_roundtrip(tmp_path):
     from human_body_reconstruction_tpu.utils import config as C
 

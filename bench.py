@@ -231,10 +231,12 @@ def main():
         occ_fracs[name] = round(occ_frac, 3)
 
     # headline candidates are quality-validated operating points ONLY
-    # (cp_guided_k32_scan8 joins once the hard-scene quality matrix
-    # validates the CP encoder at this budget)
+    # (cp_guided_k32_scan8 validated by qm_cp.json / qm_cp_sweep.json:
+    # 32.0-33.5 dB holdout at the 240 s budget vs the int8 flagship's
+    # 30.0 — CP is the quality flagship; int8 stays the rays/s leader)
     candidates = ("steady_state", "int8_dense", "int8_dense_guided",
-                  "int8_dense_guided_k32", "int8_dense_guided_k32_scan8")
+                  "int8_dense_guided_k32", "int8_dense_guided_k32_scan8",
+                  "cp_guided_k32_scan8")
     best = max((m for m in candidates if m in results), key=results.get)
     headline = results[best]
     print(json.dumps({

@@ -719,13 +719,26 @@ def encode_params(enc_params, x, mu, sigma, cfg: HashConfig, key=None,
                 raise ValueError(
                     "variant='cp' but encoder params carry no 'lines' "
                     "(init with init_encoder)")
+            feats = lowrank.cp_encode(enc_params["lines"], x, mu,
+                                      sigma, cfg)
             if cfg.level_axis is not None:
-                raise NotImplementedError(
-                    "level parallelism over CP factor lines is not "
-                    "implemented (the CP path has no per-chip lookup "
-                    "bottleneck to divide)")
-            parts.append(lowrank.cp_encode(enc_params["lines"], x, mu,
-                                           sigma, cfg))
+                # RANK parallelism (parallel/level_parallel.py): CP has
+                # no lookups to divide, so the sharded axis is the rank
+                # axis — this chip's ``lines`` are contiguous
+                # (dim, G_l, R/n) rank slices and ``feats`` is
+                # (N, L * R/n).  Gather the chips' rank blocks and
+                # restore the single-chip level-major/rank-minor column
+                # order (contiguous slices, so [l, chip, r_local] is
+                # exactly [l, r]).
+                g = jax.lax.all_gather(feats, cfg.level_axis)  # (n,N,L*Rl)
+                n_ax, n_pts, _ = g.shape
+                r_local = enc_params["lines"][0].shape[-1]
+                feats = (g.reshape(n_ax, n_pts, cfg.num_hashed_levels,
+                                   r_local)
+                         .transpose(1, 2, 0, 3)
+                         .reshape(n_pts, cfg.num_hashed_levels
+                                  * n_ax * r_local))
+            parts.append(feats)
         else:
             hashed = encode(enc_params["table"], x, mu, sigma, cfg,
                             key=key, stochastic=stochastic, scales=scales)

@@ -128,7 +128,11 @@ def cp_encode(lines, x, mu, sigma, cfg: HashConfig, block: int = 0):
 
     n_lvl = len(lines)
     assert n_lvl == cfg.num_levels - cfg.dense_levels
-    rank = cfg.cp_rank
+    # rank comes from the lines themselves, not cfg.cp_rank: under rank
+    # parallelism (parallel/level_parallel.py) each chip holds a
+    # (dim, G_l, R/n) RANK SLICE of every level and encodes it with the
+    # same code path
+    rank = lines[0].shape[-1]
     sizes = cp_line_sizes(cfg)
     offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
     total_g = int(offs[-1])

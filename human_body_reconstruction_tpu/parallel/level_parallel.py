@@ -44,6 +44,18 @@ hashed ladder is sharded, and ``encode_params`` all_gathers the hashed
 blocks BEFORE concatenating the dense part so the MLP layout matches
 the single-chip one exactly.
 
+The CP factor-line encoder (``variant="cp"``, ops/lowrank.py) has no
+lookups to divide — its cost is matmul FLOPs, proportional to the CP
+rank — so under the same "level" mesh axis it shards the RANK axis
+instead ("rank parallelism"): each chip holds a contiguous
+(dim, G_l, R/n) rank slice of EVERY level's factor lines (plus their
+adam moments), runs the identical block-diagonal-matmul encode on its
+slice, and ``encode_params`` all_gathers the rank blocks and restores
+the level-major/rank-minor column order before the replicated MLP.
+The per-chip encode FLOPs divide by the axis extent; line gradients
+stay chip-local through the all_gather transpose, exactly as for the
+table.
+
 No reference analog: the reference's parallelism is a single-process
 ``DataParallel`` over the MLP only (train_hash2.py:127).
 """
@@ -83,7 +95,14 @@ def make_lp_mesh(n_data: int, n_level: int, devices=None) -> Mesh:
 def _validate(cfg: PipelineConfig, mesh: Mesh, batch_size: Optional[int]):
     h = cfg.hash
     n_level = mesh.shape[LEVEL_AXIS]
-    if h.num_hashed_levels % n_level:
+    if h.variant == "cp":
+        # CP shards the RANK axis (there are no lookups to divide; the
+        # cost is matmul FLOPs, proportional to R)
+        if h.cp_rank % n_level:
+            raise ValueError(
+                f"cp_rank {h.cp_rank} not divisible by the level-axis "
+                f"extent {n_level} (variant='cp' shards the rank axis)")
+    elif h.num_hashed_levels % n_level:
         raise ValueError(
             f"hashed level count {h.num_hashed_levels} not divisible by "
             f"the level-axis extent {n_level} (dense levels are "
@@ -99,26 +118,41 @@ def _lp_cfg(cfg: PipelineConfig) -> PipelineConfig:
 
 
 def _params_spec(params):
-    """Pytree-prefix spec: table sharded on its level axis, rest
-    replicated."""
-    return {k: (P(LEVEL_AXIS) if k == "table" else P()) for k in params}
+    """Pytree-prefix spec: the hash table shards on its level axis, CP
+    factor lines on their (trailing) rank axis, rest replicated."""
+    spec = {}
+    for k in params:
+        if k == "table":
+            spec[k] = P(LEVEL_AXIS)
+        elif k == "lines":
+            spec[k] = P(None, None, LEVEL_AXIS)
+        else:
+            spec[k] = P()
+    return spec
 
 
-def _is_table_path(path) -> bool:
-    return any(getattr(k, "key", None) == "table" for k in path)
+def _param_key_in_path(path, name: str) -> bool:
+    return any(getattr(k, "key", None) == name for k in path)
 
 
 def shard_lp_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place a TrainState on the mesh: every level-shaped leaf reached
     through a "table" key (params AND optimizer moments) sharded
-    P("level"), everything else (incl. scalar opt bookkeeping that
-    optax masks key by param name) replicated."""
+    P("level"), every CP factor line reached through a "lines" key
+    sharded on its trailing RANK axis, everything else (incl. scalar opt
+    bookkeeping that optax masks key by param name) replicated."""
     n_level = mesh.shape[LEVEL_AXIS]
 
     def put(path, leaf):
-        shardable = (_is_table_path(path) and getattr(leaf, "ndim", 0) >= 1
-                     and leaf.shape[0] % n_level == 0)
-        spec = P(LEVEL_AXIS) if shardable else P()
+        ndim = getattr(leaf, "ndim", 0)
+        if (_param_key_in_path(path, "table") and ndim >= 1
+                and leaf.shape[0] % n_level == 0):
+            spec = P(LEVEL_AXIS)
+        elif (_param_key_in_path(path, "lines") and ndim >= 1
+                and leaf.shape[-1] % n_level == 0):
+            spec = P(*([None] * (ndim - 1)), LEVEL_AXIS)
+        else:
+            spec = P()
         return jax.device_put(leaf, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map_with_path(put, state)
 
@@ -168,12 +202,16 @@ def make_lp_train_step(cfg: PipelineConfig, tx, batch_size: int, mesh: Mesh,
         aux = jax.tree.map(lambda a: jax.lax.pmean(a, DATA_AXIS), aux)
         return grads, loss, aux
 
+    # cp ignores the per-chip scales (its levels aren't sharded); the
+    # hashed variants slice the ladder across the level axis
+    scales_spec = P() if cfg.hash.variant == "cp" else P(LEVEL_AXIS)
+
     def build(params):
         spec = _params_spec(params)
         return jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(spec, P(), P(), P(), P(), P(), P(), P(),
-                      P(LEVEL_AXIS)),
+                      scales_spec),
             out_specs=(spec, P(), P()),
             check_vma=False)
 
@@ -223,12 +261,14 @@ def make_lp_render(cfg: PipelineConfig, mesh: Mesh, num_samples: int = 128,
                                occ=occ, compute_dtype=compute_dtype)
         return out["fine"]
 
+    scales_spec = P() if cfg.hash.variant == "cp" else P(LEVEL_AXIS)
+
     def build(params):
         spec = _params_spec(params)
         return jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(spec, P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                      P(), P(), P(LEVEL_AXIS)),
+                      P(), P(), scales_spec),
             out_specs=P(DATA_AXIS), check_vma=False)
 
     @jax.jit

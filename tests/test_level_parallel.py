@@ -268,6 +268,127 @@ def test_lp_stochastic_features_unbiased(dataset):
     assert np.mean(err <= 4 * se + 1e-6) > 0.97, np.mean(err <= 4 * se)
 
 
+def test_lp_cp_render_matches_single_device(dataset):
+    """variant='cp' under the level mesh axis shards the RANK axis (there
+    are no lookups to divide); the all_gather + reorder in encode_params
+    must reproduce the single-chip column order exactly."""
+    from human_body_reconstruction_tpu.train.trainer import init_params
+
+    cfg = small_cfg(variant="cp", cp_rank=8)
+    scene = make_scene(dataset)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B = 64
+    o, d, n = rays_lib.full_image_rays(dataset["H"], dataset["W"],
+                                       dataset["K"], dataset["c2ws"][0])
+    o, d, n = o[:B], d[:B], n[:B]
+    key = jax.random.PRNGKey(3)
+    ref = step_lib.render_chunk(params, scene, o, d, n, key,
+                                cfg=cfg, occ=None, num_samples=16,
+                                hierarchical=False)
+    for n_data, n_level in ((2, 2), (1, 4), (2, 4)):
+        mesh = lp.make_lp_mesh(n_data, n_level)
+        state, _ = state_lib.create_train_state(params, cfg.train, 10)
+        sharded = lp.shard_lp_state(state, mesh)
+        render = lp.make_lp_render(cfg, mesh, num_samples=16)
+        got = render(sharded.params, scene, o, d, n, key)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_lp_cp_dense_plus_cp_render_matches_single_device(dataset):
+    """dense coarse levels (replicated) + CP fine levels (rank-sharded)
+    compose: the dense block must concatenate AFTER the rank gather."""
+    from human_body_reconstruction_tpu.train.trainer import init_params
+
+    cfg = small_cfg(variant="cp", cp_rank=8, dense_levels=2)
+    scene = make_scene(dataset)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    B = 64
+    o, d, n = rays_lib.full_image_rays(dataset["H"], dataset["W"],
+                                       dataset["K"], dataset["c2ws"][1])
+    o, d, n = o[:B], d[:B], n[:B]
+    key = jax.random.PRNGKey(5)
+    ref = step_lib.render_chunk(params, scene, o, d, n, key,
+                                cfg=cfg, occ=None, num_samples=16,
+                                hierarchical=False)
+    mesh = lp.make_lp_mesh(2, 4)
+    state, _ = state_lib.create_train_state(params, cfg.train, 10)
+    sharded = lp.shard_lp_state(state, mesh)
+    render = lp.make_lp_render(cfg, mesh, num_samples=16)
+    got = render(sharded.params, scene, o, d, n, key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_lp_cp_training_reduces_loss_and_stays_sharded(dataset):
+    """CP rank-parallel training on a (2, 2) mesh: loss decreases, and
+    the factor lines AND their adam moments keep their rank sharding
+    through optimizer updates."""
+    cfg = small_cfg(variant="cp", cp_rank=8)
+    scene = make_scene(dataset)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        "lines": __import__(
+            "human_body_reconstruction_tpu.ops.lowrank",
+            fromlist=["init_lines"]).init_lines(k1, cfg.hash),
+        "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
+                                  cfg.dir_enc.out_dim),
+    }
+    state, tx = state_lib.create_train_state(params, cfg.train, 50)
+    mesh = lp.make_lp_mesh(2, 2)
+    state = lp.shard_lp_state(state, mesh)
+    step = lp.make_lp_train_step(cfg, tx, batch_size=512, mesh=mesh)
+    first = last = None
+    for _ in range(40):
+        state, m = step(state, scene, dataset["images"], dataset["c2ws"],
+                        dataset["K"], jax.random.PRNGKey(0))
+        if first is None:
+            first = float(m["loss"])
+        last = float(m["loss"])
+    assert last < first * 0.7, (first, last)
+    line0 = state.params["lines"][0]
+    shard_shapes = {s.data.shape for s in line0.addressable_shards}
+    dim, g, _ = line0.shape
+    assert shard_shapes == {(dim, g, 4)}, shard_shapes
+
+
+def test_lp_cp_matches_single_device_steps(dataset):
+    """Rank sharding is a layout choice: (1,1) and (1,4) meshes take the
+    same training steps (same loss trajectory, lines agree closely)."""
+    cfg = small_cfg(variant="cp", cp_rank=8)
+    scene = make_scene(dataset)
+    results = {}
+    for n_level in (1, 4):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        from human_body_reconstruction_tpu.ops import lowrank
+        params = {
+            "lines": lowrank.init_lines(k1, cfg.hash),
+            "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
+                                      cfg.dir_enc.out_dim),
+        }
+        state, tx = state_lib.create_train_state(params, cfg.train, 50)
+        mesh = lp.make_lp_mesh(1, n_level)
+        state = lp.shard_lp_state(state, mesh)
+        step = lp.make_lp_train_step(cfg, tx, batch_size=256, mesh=mesh)
+        losses = []
+        for _ in range(3):
+            state, m = step(state, scene, dataset["images"],
+                            dataset["c2ws"], dataset["K"],
+                            jax.random.PRNGKey(7))
+            losses.append(float(m["loss"]))
+        results[n_level] = (np.asarray(state.params["lines"][0]), losses)
+    np.testing.assert_allclose(results[4][1], results[1][1], rtol=1e-5)
+    diff = np.abs(results[4][0] - results[1][0])
+    assert diff.max() < 5e-3, diff.max()
+
+
+def test_lp_rejects_bad_cp_rank():
+    mesh = lp.make_lp_mesh(1, 4)
+    with pytest.raises(ValueError, match="cp_rank"):
+        lp.make_lp_train_step(small_cfg(variant="cp", cp_rank=6), None,
+                              256, mesh)
+
+
 def test_trainer_level_parallel_e2e(tmp_path, dataset):
     """Full Trainer loop on a (2, 4) mesh: occupancy refresh on sharded
     params, lp eval render, checkpoint save + re-sharded resume."""

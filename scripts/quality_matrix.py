@@ -74,6 +74,13 @@ def make_modes(C, dense_grid):
     cp16 = dataclasses.replace(
         cp16, dense_levels=dense_grid.auto_dense_levels(cp16))
     cp32 = dataclasses.replace(cp16, cp_rank=32)
+    # finer resolution ladder (b ~ 1.55 instead of 2.0): same n_min/
+    # n_max endpoints, 12 levels; ΣG roughly doubles (fine lines
+    # dominate) so encode FLOPs ~2x — a capacity-vs-rate probe
+    cp_l12 = C.HashConfig(num_levels=12, n_min=16, n_max=2048,
+                          variant="cp", cp_rank=32)
+    cp_l12 = dataclasses.replace(
+        cp_l12, dense_levels=dense_grid.auto_dense_levels(cp_l12))
     return {
         "exact": C.PipelineConfig(
             hash=C.HashConfig(**h), render=C.RenderConfig(**r)),
@@ -178,6 +185,24 @@ def make_modes(C, dense_grid):
         # does the guided sample budget move the knee?
         "cp_r32_guided_k48_mass": C.PipelineConfig(
             hash=cp32,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass")),
+        # rank ladder at the K=48 operating point (the 240s winner):
+        # CP capacity ∝ R, encode FLOPs ∝ R — where is the knee?
+        "cp_r48_guided_k48_mass": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=48),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass")),
+        "cp_r64_guided_k48_mass": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=64),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass")),
+        # capacity via ladder density instead of rank
+        "cp_l12_r32_guided_k48_mass": C.PipelineConfig(
+            hash=cp_l12,
             render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
                                   occ_guided=True, occ_probes=64,
                                   occ_dt="mass")),

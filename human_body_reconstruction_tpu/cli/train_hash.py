@@ -86,6 +86,10 @@ def build_parser():
     p.add_argument("--cp_rank", type=int, default=16,
                    help="with --encoder_variant cp: features per level "
                         "(rank of each level's CP factorisation)")
+    p.add_argument("--cp_tv", type=float, default=0.0,
+                   help="with --encoder_variant cp: 1-D total-variation "
+                        "weight on the factor lines (TensoRF-style "
+                        "smoothness; elementwise, no gathers; 0 = off)")
     p.add_argument("--stochastic", action="store_true",
                    help="unbiased single-corner hash sampling during "
                         "training (8x fewer gathers)")
@@ -235,7 +239,8 @@ def make_config(args):
         train=C.TrainConfig(
             num_epochs=args.num_epochs, ray_batch=args.num_batch,
             update_rate=args.update_rate, seed=args.seed,
-            occ_warmup_steps=args.occ_warmup),
+            occ_warmup_steps=args.occ_warmup,
+            cp_tv_weight=args.cp_tv),
     )
 
 

@@ -63,6 +63,12 @@ def loss_fn(params, scene, batch, key, cfg: PipelineConfig, occ,
         eik = nerf.eikonal_loss(out["eikonal_norm"])
         loss = loss + cfg.train.eikonal_weight * eik
         aux["eikonal"] = eik
+    if cfg.train.cp_tv_weight > 0.0 and "lines" in params:
+        # 1-D TV on the CP factor lines (config.TrainConfig.cp_tv_weight)
+        tv = sum(jnp.mean(jnp.square(ln[:, 1:, :] - ln[:, :-1, :]))
+                 for ln in params["lines"]) / len(params["lines"])
+        loss = loss + cfg.train.cp_tv_weight * tv
+        aux["cp_tv"] = tv
     aux["psnr"] = compositing.psnr(out["fine"], gt)
     return loss, aux
 

@@ -328,6 +328,14 @@ class TrainConfig:
                                      # (reference train_hash2.py:192, 218)
     update_rate: int = 15            # occupancy-grid update cadence
     write_every: int = 0             # steps between eval renders (0 = auto)
+    # 1-D total-variation weight on the CP factor lines (variant="cp"
+    # only; TensoRF §5.3's TV regulariser restated for factor LINES):
+    # mean squared first difference along each line's spatial axis.
+    # Pure elementwise VPU work — no gathers — and additively separable
+    # over rank columns, so it is exact under rank parallelism
+    # (parallel/level_parallel.py shards the rank axis; each chip's
+    # slice-local term IS its slice of the global objective).  0 = off.
+    cp_tv_weight: float = 0.0
     # Steps trained WITHOUT culling before the occupancy grid engages.
     # Culling decisions taken from a near-random field are wrong and
     # (with top-K compaction) self-reinforcing: truncated rays train a

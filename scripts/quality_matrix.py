@@ -206,6 +206,21 @@ def make_modes(C, dense_grid):
             render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
                                   occ_guided=True, occ_probes=64,
                                   occ_dt="mass")),
+        # factor-line TV regularisation (TrainConfig.cp_tv_weight):
+        # does 1-D smoothness on the CP lines buy holdout PSNR at the
+        # flagship operating point?  Two decades to bracket the scale.
+        "cp_r32_guided_k48_tv1e2": C.PipelineConfig(
+            hash=cp32,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass"),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
+        "cp_r32_guided_k48_tv1e3": C.PipelineConfig(
+            hash=cp32,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass"),
+            train=C.TrainConfig(cp_tv_weight=1e-3)),
         # occupancy-grid resolution: finer cells classify the probe
         # ladder better once placement (not culling) is the consumer
         "int8_dense_guided_k32_mass_g256": C.PipelineConfig(
@@ -259,7 +274,8 @@ def main():
     results = {}
     for name, cfg in modes.items():
         cfg = dataclasses.replace(
-            cfg, train=C.TrainConfig(ray_batch=args.batch))
+            cfg, train=dataclasses.replace(cfg.train,
+                                           ray_batch=args.batch))
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         params = {
             **he.init_encoder(k1, cfg.hash),

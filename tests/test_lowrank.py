@@ -261,3 +261,61 @@ def test_cp_config_json_roundtrip(tmp_path):
     assert back.hash.variant == "cp"
     assert back.hash.cp_rank == 7
     assert back.hash.out_dim == cfg.hash.out_dim
+
+def test_cp_tv_loss_matches_numpy_and_trains():
+    """cp_tv_weight adds exactly the mean-squared first difference of the
+    factor lines (numpy cross-check) and the regularised step still
+    optimizes with a finite cp_tv metric."""
+    from human_body_reconstruction_tpu.models import mlp as mlp_lib
+    from human_body_reconstruction_tpu.train import state as state_lib
+    from human_body_reconstruction_tpu.train import step as step_lib
+    from human_body_reconstruction_tpu.utils import config as C
+
+    hcfg = HashConfig(num_levels=3, n_min=4, n_max=16, variant="cp",
+                      cp_rank=4, dense_levels=1, dense_bf16=False)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        **he.init_encoder(k1, hcfg),
+        "mlp": mlp_lib.init_mlp3d(k2, C.MLPConfig(), hcfg.out_dim,
+                                  C.PosEncConfig().out_dim),
+    }
+    scene = {"mu": jnp.zeros(3), "sigma": jnp.asarray(8.0),
+             "min_bound": jnp.zeros(3), "max_bound": jnp.full((3,), 8.0)}
+    o = jnp.zeros((16, 3))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (16, 1))
+    n = jnp.ones((16,))
+    gt = jnp.zeros((16, 3))
+    batch = (o, d, n, gt)
+    key = jax.random.PRNGKey(1)
+
+    def loss_at(w):
+        cfg = C.PipelineConfig(hash=hcfg, render=C.RenderConfig(num_samples=8),
+                               train=C.TrainConfig(cp_tv_weight=w))
+        return step_lib.loss_fn(params, scene, batch, key, cfg, None, None)
+
+    l0, aux0 = loss_at(0.0)
+    l1, aux1 = loss_at(2.0)
+    assert "cp_tv" not in aux0
+    tv_np = np.mean([np.mean(np.square(np.diff(np.asarray(ln), axis=1)))
+                     for ln in params["lines"]])
+    np.testing.assert_allclose(float(l1) - float(l0), 2.0 * tv_np,
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(aux1["cp_tv"]), tv_np, rtol=1e-5)
+
+    # regularised end-to-end step still trains
+    cfg = C.PipelineConfig(hash=hcfg, render=C.RenderConfig(num_samples=8),
+                           train=C.TrainConfig(ray_batch=64,
+                                               cp_tv_weight=0.1))
+    state, tx = state_lib.create_train_state(params, cfg.train, 10)
+    images = jnp.clip(jax.random.uniform(jax.random.PRNGKey(2),
+                                         (2, 8, 8, 3)), 0, 1)
+    c2ws = jnp.broadcast_to(jnp.eye(4), (2, 4, 4))
+    K = jnp.asarray([[10.0, 0, 4.0], [0, 10.0, 4.0], [0, 0, 1]])
+    losses = []
+    for _ in range(10):
+        state, metrics = step_lib.train_step(
+            state, scene, images, c2ws, K, jax.random.PRNGKey(3),
+            cfg=cfg, tx=tx, batch_size=cfg.train.ray_batch)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["cp_tv"]))
+    assert losses[-1] < losses[0]

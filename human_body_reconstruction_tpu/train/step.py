@@ -64,9 +64,19 @@ def loss_fn(params, scene, batch, key, cfg: PipelineConfig, occ,
         loss = loss + cfg.train.eikonal_weight * eik
         aux["eikonal"] = eik
     if cfg.train.cp_tv_weight > 0.0 and "lines" in params:
-        # 1-D TV on the CP factor lines (config.TrainConfig.cp_tv_weight)
-        tv = sum(jnp.mean(jnp.square(ln[:, 1:, :] - ln[:, :-1, :]))
+        # 1-D TV on the CP factor lines (config.TrainConfig.cp_tv_weight).
+        # Normalised by the GLOBAL rank cfg.hash.cp_rank, not the local
+        # column count: under rank parallelism each chip holds a
+        # (dim, G_l, R/n) slice, so sum-of-squares over the local slice
+        # divided by the global element count is exactly this chip's
+        # share of the single-chip objective; the psum over the level
+        # axis restores the global value so loss/aux stay replicated.
+        rank = cfg.hash.cp_rank
+        tv = sum(jnp.sum(jnp.square(ln[:, 1:, :] - ln[:, :-1, :]))
+                 / (ln.shape[0] * (ln.shape[1] - 1) * rank)
                  for ln in params["lines"]) / len(params["lines"])
+        if cfg.hash.level_axis is not None:
+            tv = jax.lax.psum(tv, cfg.hash.level_axis)
         loss = loss + cfg.train.cp_tv_weight * tv
         aux["cp_tv"] = tv
     aux["psnr"] = compositing.psnr(out["fine"], gt)

@@ -355,6 +355,14 @@ class PipelineConfig:
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
 
+    def __post_init__(self):
+        if self.train.cp_tv_weight > 0.0 and self.hash.variant != "cp":
+            raise ValueError(
+                "cp_tv_weight > 0 requires encoder variant 'cp' (the TV "
+                "regulariser acts on CP factor lines, which only that "
+                f"variant has; got variant={self.hash.variant!r}) — drop "
+                "--cp_tv or add --encoder_variant cp")
+
 
 def to_json(cfg: PipelineConfig, path: str):
     """Persist a config next to its checkpoint so downstream tools

@@ -420,3 +420,40 @@ def test_trainer_level_parallel_e2e(tmp_path, dataset):
     assert int(np.asarray(tr2.state.step)) == 30
     tr2.run(2, log_every=0)
     assert int(np.asarray(tr2.state.step)) == 32
+
+
+def test_lp_cp_tv_matches_single_device_steps(dataset):
+    """cp_tv_weight > 0 under rank parallelism: the global-rank
+    normalisation + level-axis psum (train/step.py loss_fn) keeps the
+    regularised step EXACT across level-axis extents — same loss and
+    cp_tv trajectories, same lines (ADVICE r2 fix)."""
+    cfg = small_cfg(variant="cp", cp_rank=8)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, cp_tv_weight=0.5))
+    scene = make_scene(dataset)
+    results = {}
+    for n_level in (1, 4):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        from human_body_reconstruction_tpu.ops import lowrank
+        params = {
+            "lines": lowrank.init_lines(k1, cfg.hash),
+            "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
+                                      cfg.dir_enc.out_dim),
+        }
+        state, tx = state_lib.create_train_state(params, cfg.train, 50)
+        mesh = lp.make_lp_mesh(1, n_level)
+        state = lp.shard_lp_state(state, mesh)
+        step = lp.make_lp_train_step(cfg, tx, batch_size=256, mesh=mesh)
+        losses, tvs = [], []
+        for _ in range(3):
+            state, m = step(state, scene, dataset["images"],
+                            dataset["c2ws"], dataset["K"],
+                            jax.random.PRNGKey(7))
+            losses.append(float(m["loss"]))
+            tvs.append(float(m["cp_tv"]))
+        results[n_level] = (np.asarray(state.params["lines"][0]),
+                            losses, tvs)
+    np.testing.assert_allclose(results[4][1], results[1][1], rtol=1e-5)
+    np.testing.assert_allclose(results[4][2], results[1][2], rtol=1e-5)
+    diff = np.abs(results[4][0] - results[1][0])
+    assert diff.max() < 5e-3, diff.max()

@@ -319,3 +319,18 @@ def test_cp_tv_loss_matches_numpy_and_trains():
         losses.append(float(metrics["loss"]))
         assert np.isfinite(float(metrics["cp_tv"]))
     assert losses[-1] < losses[0]
+
+
+def test_cp_tv_rejects_non_cp_variant():
+    """--cp_tv with a hash-table variant would be silently ignored by
+    loss_fn (it guards on 'lines' in params); the config rejects it at
+    construction instead (ADVICE r2)."""
+    from human_body_reconstruction_tpu.utils import config as C
+
+    with pytest.raises(ValueError, match="cp_tv"):
+        C.PipelineConfig(train=C.TrainConfig(cp_tv_weight=0.1))
+    with pytest.raises(ValueError, match="cp_tv"):
+        C.PipelineConfig(hash=HashConfig(variant="cell"),
+                         train=C.TrainConfig(cp_tv_weight=0.1))
+    # and the valid combination still constructs
+    C.PipelineConfig(hash=cfg_cp(), train=C.TrainConfig(cp_tv_weight=0.1))

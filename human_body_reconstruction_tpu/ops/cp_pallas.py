@@ -1,0 +1,238 @@
+"""Pallas TPU kernel for the CP factor-line two-hot matmul.
+
+Why this kernel exists (measured, docs/PERF_NOTES.md round 3): the XLA
+formulation of :func:`ops.lowrank.cp_encode` materialises the two-hot
+interpolation matrix ``W (block, sum_G)`` in HBM — XLA cannot fuse a
+producer into a dot operand, and at the flagship shapes W is ~47 MB
+bf16 per 2048-point block, far over the ~16 MB VMEM budget.  The matmul
+itself has arithmetic intensity ~(L*R) FLOP/byte on the W traffic
+(~96 at the flagship), under the v5e ridge (~240), so the encode runs
+HBM-bound at a fraction of MXU speed.
+
+This kernel never lets W leave the chip:
+
+  * the block-diagonal factor matrix ``M (sum_G_pad, C)`` is small
+    (~1 MB bf16 per axis) and stays VMEM-resident for a whole axis of
+    the grid sweep;
+  * per (axis, point-tile) the kernel rebuilds W's tile in a VMEM
+    scratch with the hat-function identity
+
+        w[p, g] = max(0, 1 - |g - x_eff[p]|)
+
+    which reproduces the two-hot lerp row exactly ((1-frac) at x0, frac
+    at x0+1) for x_eff = clip(floor(x), 0, G-2) + (x - floor(x)), and
+  * feeds the MXU directly: ``T = W @ M`` with f32 accumulation.
+
+The backward pass is a second accumulation kernel (dM = sum_p W^T dT,
+rebuilt W, contraction over the point tile); positions get no gradient
+(the XLA path stop_gradients the fractions — ops/lowrank.py:168).
+
+Per-level line segments are padded to 128-lane multiples so every
+scratch slice is lane-aligned; the padded rows of M are zero, so stray
+hat support in the padding contributes nothing.
+
+Capability parity: this is an implementation detail of the CP encoder
+(see ops/lowrank.py for the capability citation); numerics match the
+XLA path to bf16 rounding and are covered by tests/test_cp_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from human_body_reconstruction_tpu.utils.config import HashConfig
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def padded_layout(sizes):
+    """Per-level 128-aligned row offsets for the factor matrix.
+
+    Returns (offsets, padded_sizes, total_padded_rows).
+    """
+    padded = [_round_up(g, 128) for g in sizes]
+    offs = np.concatenate([[0], np.cumsum(padded)]).astype(np.int32)
+    return [int(o) for o in offs[:-1]], padded, int(offs[-1])
+
+
+# ---------------------------------------------------------------- kernels
+
+
+def _build_w(w_ref, xl, padded, offs, bm):
+    """Fill the (bm, sum_G_pad) scratch with the two-hot rows of every
+    level from per-level effective coordinates ``xl[:, l]``."""
+    for l, (gp, off) in enumerate(zip(padded, offs)):
+        xc = xl[:, l:l + 1]                                     # (bm, 1)
+        iota = jax.lax.broadcasted_iota(jnp.float32, (bm, gp), 1)
+        hat = jnp.maximum(0.0, 1.0 - jnp.abs(iota - xc))        # (bm, gp)
+        w_ref[:, off:off + gp] = hat.astype(jnp.bfloat16)
+
+
+def _fwd_kernel(xl_ref, mat_ref, out_ref, w_ref, *, padded, offs, bm):
+    _build_w(w_ref, xl_ref[:], padded, offs, bm)
+    out_ref[0] = jnp.dot(w_ref[:], mat_ref[0],
+                         preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel(xl_ref, dt_ref, dm_ref, w_ref, *, padded, offs, bm):
+    i = pl.program_id(1)
+    _build_w(w_ref, xl_ref[:], padded, offs, bm)
+    contrib = jax.lax.dot_general(
+        w_ref[:], dt_ref[0].astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # (sumG, C)
+
+    @pl.when(i == 0)
+    def _():
+        dm_ref[0] = contrib
+
+    @pl.when(i > 0)
+    def _():
+        dm_ref[0] = dm_ref[0] + contrib
+
+
+# ------------------------------------------------------------- dispatch
+
+
+@functools.lru_cache(maxsize=32)
+def _pallas_calls(sizes, b_pad: int, c_pad: int, bm: int, interpret: bool):
+    """Build the fwd/bwd pallas_call callables for one static layout."""
+    offs, padded, total = padded_layout(sizes)
+    n_lvl = len(sizes)
+    nb = b_pad // bm
+    grid = (3, nb)
+    cost = pl.CostEstimate(
+        flops=2 * 3 * b_pad * total * c_pad,
+        bytes_accessed=3 * b_pad * (n_lvl * 4 + c_pad * 4),
+        transcendentals=0)
+
+    fwd = pl.pallas_call(
+        functools.partial(_fwd_kernel, padded=padded, offs=offs, bm=bm),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, n_lvl), lambda d, i: (i, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, total, c_pad), lambda d, i: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bm, c_pad), lambda d, i: (d, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, b_pad, c_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, total), jnp.bfloat16)],
+        interpret=interpret,
+        cost_estimate=cost,
+    )
+
+    bwd = pl.pallas_call(
+        functools.partial(_bwd_kernel, padded=padded, offs=offs, bm=bm),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, n_lvl), lambda d, i: (i, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm, c_pad), lambda d, i: (d, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, total, c_pad), lambda d, i: (d, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, total, c_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, total), jnp.bfloat16)],
+        interpret=interpret,
+        cost_estimate=cost,
+    )
+    return fwd, bwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _cp_matmul(xl, mats, sizes, bm, interpret):
+    """T[d] = W(xl[:, d*L:(d+1)*L]) @ mats[d] for the three axes.
+
+    xl: (B_pad, 3*L) f32 per-level effective coordinates (axis-major).
+    mats: (3, sum_G_pad, C_pad) bf16 block-diagonal factor matrices.
+    Returns (3, B_pad, C_pad) f32.
+    """
+    fwd, _ = _pallas_calls(sizes, xl.shape[0], mats.shape[-1], bm,
+                           interpret)
+    return fwd(xl, mats)
+
+
+def _cp_matmul_fwd(xl, mats, sizes, bm, interpret):
+    return _cp_matmul(xl, mats, sizes, bm, interpret), (xl, mats.shape[-1])
+
+
+def _cp_matmul_bwd(sizes, bm, interpret, res, dt):
+    xl, c_pad = res
+    _, bwd = _pallas_calls(sizes, xl.shape[0], c_pad, bm, interpret)
+    dm = bwd(xl, dt)
+    return jnp.zeros_like(xl), dm.astype(jnp.bfloat16)
+
+
+_cp_matmul.defvjp(_cp_matmul_fwd, _cp_matmul_bwd)
+
+
+def vmem_estimate_bytes(sizes, c_pad: int, bm: int) -> int:
+    """Rough VMEM budget of one kernel step (scratch + resident blocks)."""
+    _, _, total = padded_layout(sizes)
+    w = bm * total * 2
+    mat = total * c_pad * 2
+    dm = total * c_pad * 4
+    t = bm * c_pad * 4
+    return w + mat + dm + t
+
+
+def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
+                     block: int = 512, interpret: bool = False):
+    """Drop-in replacement for :func:`ops.lowrank.cp_encode` running the
+    two-hot matmuls as Pallas kernels (see module docstring).
+
+    Semantics match cp_encode exactly (same clamping, bf16 operands,
+    f32 accumulation, stop_gradient'ed fractions -> no position grads).
+    """
+    from human_body_reconstruction_tpu.ops import lowrank
+    from human_body_reconstruction_tpu.ops.hash_encoding import level_scales
+
+    # off-TPU there is no Mosaic backend: run the kernel interpreted
+    # (tests exercise the exact kernel logic this way)
+    interpret = interpret or jax.default_backend() != "tpu"
+    n_lvl = len(lines)
+    assert n_lvl == cfg.num_levels - cfg.dense_levels
+    rank = lines[0].shape[-1]
+    sizes = tuple(lowrank.cp_line_sizes(cfg))
+    offs, _padded, total = padded_layout(sizes)
+    c = n_lvl * rank
+    c_pad = _round_up(c, 128)
+    scales = np.asarray(level_scales(cfg)[cfg.dense_levels:], np.float32)
+
+    n = x.shape[0]
+    xn = (x.astype(jnp.float32) - mu) / sigma                  # (N, 3)
+
+    # per-(axis, level) effective coordinates: clip(floor, 0, G-2) + frac
+    xl = xn[:, :, None] * jnp.asarray(scales)[None, None, :]   # (N, 3, L)
+    x0f = jnp.floor(xl)
+    frac = jax.lax.stop_gradient(jnp.clip(xl - x0f, 0.0, 1.0))
+    gmax = jnp.asarray([g - 2 for g in sizes], jnp.float32)
+    xe = jnp.clip(x0f, 0.0, gmax[None, None, :]) + frac        # (N, 3, L)
+    xe = xe.reshape(n, 3 * n_lvl)
+
+    bm = block
+    pad = (-n) % bm
+    if pad:
+        xe = jnp.pad(xe, ((0, pad), (0, 0)))
+
+    # block-diagonal factor matrices, 128-aligned per level segment
+    mats = jnp.zeros((3, total, c_pad), jnp.float32)
+    for l, ln in enumerate(lines):
+        mats = jax.lax.dynamic_update_slice(
+            mats, ln.astype(jnp.float32), (0, offs[l], l * rank))
+    mats = mats.astype(jnp.bfloat16)
+
+    t = _cp_matmul(xe, mats, sizes, bm, interpret)             # (3,Np,Cp)
+    out = t[0] * t[1] * t[2]
+    return out[:n, :c]

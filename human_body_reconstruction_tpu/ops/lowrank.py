@@ -126,6 +126,14 @@ def cp_encode(lines, x, mu, sigma, cfg: HashConfig, block: int = 0):
     """
     from human_body_reconstruction_tpu.ops.hash_encoding import level_scales
 
+    impl = cfg.cp_impl
+    if impl == "auto":
+        impl = ("pallas" if jax.default_backend() == "tpu" else "xla")
+    if impl == "pallas":
+        from human_body_reconstruction_tpu.ops import cp_pallas
+
+        return cp_pallas.cp_encode_pallas(lines, x, mu, sigma, cfg)
+
     n_lvl = len(lines)
     assert n_lvl == cfg.num_levels - cfg.dense_levels
     # rank comes from the lines themselves, not cfg.cp_rank: under rank

@@ -118,6 +118,13 @@ class HashConfig:
     # entries, so s=0.1 puts the product at ~1e-3 (near the hash init
     # regime) while per-line gradients stay ~s**(dim-1).
     cp_init_scale: float = 0.1
+    # CP two-hot matmul implementation:
+    #   "xla":    ops/lowrank.py lax.map + dot (materialises the two-hot
+    #             matrix in HBM — HBM-bound at flagship shapes),
+    #   "pallas": ops/cp_pallas.py VMEM-resident kernel (W never leaves
+    #             the chip; measured speedup in docs/PERF_NOTES.md r3),
+    #   "auto":   pallas on TPU backends, xla elsewhere.
+    cp_impl: str = "auto"
     # Level-parallel (tensor-parallel) encoding: name of the mesh axis
     # that shards the hash table's LEVEL dimension.  Set only inside
     # shard_map bodies (parallel/level_parallel.py builds it for you) —

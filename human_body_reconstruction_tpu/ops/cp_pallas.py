@@ -11,25 +11,27 @@ HBM-bound at a fraction of MXU speed.
 
 This kernel never lets W leave the chip:
 
-  * the block-diagonal factor matrix ``M (sum_G_pad, C)`` is small
-    (~1 MB bf16 per axis) and stays VMEM-resident for a whole axis of
-    the grid sweep;
-  * per (axis, point-tile) the kernel rebuilds W's tile in a VMEM
+  * the block-diagonal factor matrices ``M (3, sum_G_pad, C)`` are
+    small (~3.5 MB bf16 at the flagship) and stay VMEM-resident for the
+    whole grid sweep;
+  * per point-tile the kernel rebuilds each axis' W tile in a VMEM
     scratch with the hat-function identity
 
         w[p, g] = max(0, 1 - |g - x_eff[p]|)
 
     which reproduces the two-hot lerp row exactly ((1-frac) at x0, frac
     at x0+1) for x_eff = clip(floor(x), 0, G-2) + (x - floor(x)), and
-  * feeds the MXU directly: ``T = W @ M`` with f32 accumulation.
+  * feeds the MXU directly: ``T_d = W_d @ M_d`` with f32 accumulation.
 
-The backward pass is a second accumulation kernel (dM = sum_p W^T dT,
-rebuilt W, contraction over the point tile); positions get no gradient
+The backward pass is a second accumulation kernel (dM_d = W_d^T dT_d,
+W rebuilt, contraction over the point tile); positions get no gradient
 (the XLA path stop_gradients the fractions — ops/lowrank.py:168).
 
 Per-level line segments are padded to 128-lane multiples so every
 scratch slice is lane-aligned; the padded rows of M are zero, so stray
-hat support in the padding contributes nothing.
+hat support in the padding contributes nothing.  The per-axis
+coordinates are three separate (B, L) inputs because Mosaic requires a
+block's trailing dims to be 128-divisible or whole.
 
 Capability parity: this is an implementation detail of the CP encoder
 (see ops/lowrank.py for the capability citation); numerics match the
@@ -76,27 +78,31 @@ def _build_w(w_ref, xl, padded, offs, bm):
         w_ref[:, off:off + gp] = hat.astype(jnp.bfloat16)
 
 
-def _fwd_kernel(xl_ref, mat_ref, out_ref, w_ref, *, padded, offs, bm):
-    _build_w(w_ref, xl_ref[:], padded, offs, bm)
-    out_ref[0] = jnp.dot(w_ref[:], mat_ref[0],
-                         preferred_element_type=jnp.float32)
+def _fwd_kernel(xa_ref, xb_ref, xc_ref, mat_ref, out_ref, w_ref, *,
+                padded, offs, bm):
+    for d, x_ref in enumerate((xa_ref, xb_ref, xc_ref)):
+        _build_w(w_ref, x_ref[:], padded, offs, bm)
+        out_ref[d] = jnp.dot(w_ref[:], mat_ref[d],
+                             preferred_element_type=jnp.float32)
 
 
-def _bwd_kernel(xl_ref, dt_ref, dm_ref, w_ref, *, padded, offs, bm):
-    i = pl.program_id(1)
-    _build_w(w_ref, xl_ref[:], padded, offs, bm)
-    contrib = jax.lax.dot_general(
-        w_ref[:], dt_ref[0].astype(jnp.bfloat16),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                     # (sumG, C)
+def _bwd_kernel(xa_ref, xb_ref, xc_ref, dt_ref, dm_ref, w_ref, *,
+                padded, offs, bm):
+    i = pl.program_id(0)
+    for d, x_ref in enumerate((xa_ref, xb_ref, xc_ref)):
+        _build_w(w_ref, x_ref[:], padded, offs, bm)
+        contrib = jax.lax.dot_general(
+            w_ref[:], dt_ref[d].astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # (sumG, C)
 
-    @pl.when(i == 0)
-    def _():
-        dm_ref[0] = contrib
+        @pl.when(i == 0)
+        def _():
+            dm_ref[d] = contrib
 
-    @pl.when(i > 0)
-    def _():
-        dm_ref[0] = dm_ref[0] + contrib
+        @pl.when(i > 0)
+        def _():
+            dm_ref[d] = dm_ref[d] + contrib
 
 
 # ------------------------------------------------------------- dispatch
@@ -107,26 +113,29 @@ def _pallas_calls(sizes, b_pad: int, c_pad: int, bm: int, interpret: bool):
     """Build the fwd/bwd pallas_call callables for one static layout."""
     offs, padded, total = padded_layout(sizes)
     n_lvl = len(sizes)
-    nb = b_pad // bm
-    grid = (3, nb)
+    grid = (b_pad // bm,)
     cost = pl.CostEstimate(
         flops=2 * 3 * b_pad * total * c_pad,
         bytes_accessed=3 * b_pad * (n_lvl * 4 + c_pad * 4),
         transcendentals=0)
 
+    x_spec = pl.BlockSpec((bm, n_lvl), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((3, total, c_pad), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((3, bm, c_pad), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    dm_spec = pl.BlockSpec((3, total, c_pad), lambda i: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((bm, total), jnp.bfloat16)]
+
     fwd = pl.pallas_call(
         functools.partial(_fwd_kernel, padded=padded, offs=offs, bm=bm),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, n_lvl), lambda d, i: (i, d),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, total, c_pad), lambda d, i: (d, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, bm, c_pad), lambda d, i: (d, i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[x_spec, x_spec, x_spec, mat_spec],
+        out_specs=t_spec,
         out_shape=jax.ShapeDtypeStruct((3, b_pad, c_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bm, total), jnp.bfloat16)],
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=cost,
     )
@@ -134,44 +143,40 @@ def _pallas_calls(sizes, b_pad: int, c_pad: int, bm: int, interpret: bool):
     bwd = pl.pallas_call(
         functools.partial(_bwd_kernel, padded=padded, offs=offs, bm=bm),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, n_lvl), lambda d, i: (i, d),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm, c_pad), lambda d, i: (d, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, total, c_pad), lambda d, i: (d, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[x_spec, x_spec, x_spec, t_spec],
+        out_specs=dm_spec,
         out_shape=jax.ShapeDtypeStruct((3, total, c_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bm, total), jnp.bfloat16)],
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=cost,
     )
     return fwd, bwd
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _cp_matmul(xl, mats, sizes, bm, interpret):
-    """T[d] = W(xl[:, d*L:(d+1)*L]) @ mats[d] for the three axes.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _cp_matmul(xa, xb, xc, mats, sizes, bm, interpret):
+    """T[d] = W(x_d) @ mats[d] for the three axes.
 
-    xl: (B_pad, 3*L) f32 per-level effective coordinates (axis-major).
+    xa/xb/xc: (B_pad, L) f32 per-level effective coordinates per axis.
     mats: (3, sum_G_pad, C_pad) bf16 block-diagonal factor matrices.
     Returns (3, B_pad, C_pad) f32.
     """
-    fwd, _ = _pallas_calls(sizes, xl.shape[0], mats.shape[-1], bm,
+    fwd, _ = _pallas_calls(sizes, xa.shape[0], mats.shape[-1], bm,
                            interpret)
-    return fwd(xl, mats)
+    return fwd(xa, xb, xc, mats)
 
 
-def _cp_matmul_fwd(xl, mats, sizes, bm, interpret):
-    return _cp_matmul(xl, mats, sizes, bm, interpret), (xl, mats.shape[-1])
+def _cp_matmul_fwd(xa, xb, xc, mats, sizes, bm, interpret):
+    t = _cp_matmul(xa, xb, xc, mats, sizes, bm, interpret)
+    return t, (xa, xb, xc, mats.shape[-1])
 
 
 def _cp_matmul_bwd(sizes, bm, interpret, res, dt):
-    xl, c_pad = res
-    _, bwd = _pallas_calls(sizes, xl.shape[0], c_pad, bm, interpret)
-    dm = bwd(xl, dt)
-    return jnp.zeros_like(xl), dm.astype(jnp.bfloat16)
+    xa, xb, xc, c_pad = res
+    _, bwd = _pallas_calls(sizes, xa.shape[0], c_pad, bm, interpret)
+    dm = bwd(xa, xb, xc, dt)
+    return (jnp.zeros_like(xa), jnp.zeros_like(xb), jnp.zeros_like(xc),
+            dm.astype(jnp.bfloat16))
 
 
 _cp_matmul.defvjp(_cp_matmul_fwd, _cp_matmul_bwd)
@@ -181,9 +186,9 @@ def vmem_estimate_bytes(sizes, c_pad: int, bm: int) -> int:
     """Rough VMEM budget of one kernel step (scratch + resident blocks)."""
     _, _, total = padded_layout(sizes)
     w = bm * total * 2
-    mat = total * c_pad * 2
-    dm = total * c_pad * 4
-    t = bm * c_pad * 4
+    mat = 3 * total * c_pad * 2
+    dm = 3 * total * c_pad * 4
+    t = 3 * bm * c_pad * 4
     return w + mat + dm + t
 
 
@@ -219,12 +224,11 @@ def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
     frac = jax.lax.stop_gradient(jnp.clip(xl - x0f, 0.0, 1.0))
     gmax = jnp.asarray([g - 2 for g in sizes], jnp.float32)
     xe = jnp.clip(x0f, 0.0, gmax[None, None, :]) + frac        # (N, 3, L)
-    xe = xe.reshape(n, 3 * n_lvl)
 
     bm = block
     pad = (-n) % bm
     if pad:
-        xe = jnp.pad(xe, ((0, pad), (0, 0)))
+        xe = jnp.pad(xe, ((0, pad), (0, 0), (0, 0)))
 
     # block-diagonal factor matrices, 128-aligned per level segment
     mats = jnp.zeros((3, total, c_pad), jnp.float32)
@@ -233,6 +237,7 @@ def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
             mats, ln.astype(jnp.float32), (0, offs[l], l * rank))
     mats = mats.astype(jnp.bfloat16)
 
-    t = _cp_matmul(xe, mats, sizes, bm, interpret)             # (3,Np,Cp)
+    t = _cp_matmul(xe[:, 0, :], xe[:, 1, :], xe[:, 2, :], mats,
+                   sizes, bm, interpret)                       # (3,Np,Cp)
     out = t[0] * t[1] * t[2]
     return out[:n, :c]

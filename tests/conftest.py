@@ -23,3 +23,46 @@ import jax  # noqa: E402
 # env var) is what actually wins after that registration.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+import re  # noqa: E402
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------- markers
+#
+# The full suite takes >30 min on a 1-core VM; these markers carve out a
+# <5-min fast lane (``pytest -m "not slow"``) and named subsets:
+#   slow      — trainer runs, convergence checks, compile-heavy e2e
+#   parallel  — multi-device mesh tests (shard_map/pjit on the virtual
+#               8-device CPU mesh)
+#   mesh      — marching-cubes / native-extension tests
+# Marking is centralised here (file + name patterns) so new tests get
+# classified without per-file boilerplate.
+
+_PARALLEL_FILES = {
+    "test_parallel.py", "test_level_parallel.py", "test_sample_parallel.py",
+    "test_multi_scene.py", "test_graft_entry.py",
+}
+_MESH_FILES = {"test_mesh.py"}
+_SLOW_FILES = {
+    # dominated by trainer loops / full-step compiles / interpret-mode
+    # pallas sweeps (measured: docs/STATUS.md round-3 fast-lane timing)
+    "test_train_e2e.py", "test_aot.py", "test_quality_matrix_modes.py",
+    "test_graft_entry.py", "test_serve.py", "test_render_cli.py",
+    "test_reconstruct.py", "test_multi_scene.py", "test_sample_parallel.py",
+    "test_parallel.py", "test_level_parallel.py", "test_mesh.py",
+    "test_cp_pallas.py",
+}
+_SLOW_NAME_RE = re.compile(
+    r"converge|trains|_e2e|resume|trainer|speedrun|flagship")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.fspath.basename
+        if fname in _PARALLEL_FILES:
+            item.add_marker(pytest.mark.parallel)
+        if fname in _MESH_FILES:
+            item.add_marker(pytest.mark.mesh)
+        if fname in _SLOW_FILES or _SLOW_NAME_RE.search(item.name):
+            item.add_marker(pytest.mark.slow)

@@ -165,6 +165,13 @@ def build_parser():
                    help="with --occ_guided: probe-interval count "
                         "(0 = --num_samples); fewer probes cut the "
                         "per-step occupancy-lookup cost")
+    p.add_argument("--occ_threshold", type=float, default=0.01,
+                   help="density threshold below which occupancy cells "
+                        "are culled (RenderConfig.occ_threshold)")
+    p.add_argument("--sigma_l1", type=float, default=0.0,
+                   help="L1 sparsity weight on sampled densities "
+                        "(TensoRF-style fog suppression; lets the "
+                        "occupancy grid converge on CP fields)")
     p.add_argument("--occ_probe_jitter", action="store_true",
                    help="with --occ_guided: randomise each probe's "
                         "position within its interval per step (fixed "
@@ -234,13 +241,15 @@ def make_config(args):
             compact_samples=args.compact, occ_guided=args.occ_guided,
             occ_probes=args.occ_probes, occ_explore=args.occ_explore,
             occ_probe_jitter=args.occ_probe_jitter, occ_dt=args.occ_dt,
+            occ_threshold=args.occ_threshold,
             eval_guided=args.eval_guided,
             normalization=args.normalization),
         train=C.TrainConfig(
             num_epochs=args.num_epochs, ray_batch=args.num_batch,
             update_rate=args.update_rate, seed=args.seed,
             occ_warmup_steps=args.occ_warmup,
-            cp_tv_weight=args.cp_tv),
+            cp_tv_weight=args.cp_tv,
+            sigma_l1_weight=args.sigma_l1),
     )
 
 

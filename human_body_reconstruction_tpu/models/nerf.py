@@ -206,7 +206,8 @@ def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
         params, scene, rays_o, rays_d, dir_norm, t, cfg, occ, compute_dtype,
         encode_key=enc_key, allow_compact=jitter, dt_override=dt_guided)
 
-    out = {"coarse": coarse, "weights": weights, "t": t_eff}
+    out = {"coarse": coarse, "weights": weights, "t": t_eff,
+           "density": density}
 
     if hier:
         n_fine = cfg.render.num_fine_samples or S

@@ -121,7 +121,8 @@ class Trainer:
             os.path.join(self.out_dir, self.bounds_path),
             self.scene["min_bound"], self.scene["max_bound"])
         self.params = init_params(jax.random.PRNGKey(cfg.train.seed), cfg)
-        occ = (occupancy.init_grid(cfg.render.occupancy_resolution)
+        occ = (occupancy.init_grid(cfg.render.occupancy_resolution,
+                                   threshold=cfg.render.occ_threshold)
                if cfg.render.occupancy else None)
         # occupancy warmup: train unculled first; the grid is installed
         # (and immediately refreshed from the field) at warmup

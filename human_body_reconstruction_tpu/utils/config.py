@@ -267,6 +267,11 @@ class RenderConfig:
     normalization: str = "diagonal"
     occupancy: bool = False        # occupancy-grid culling
     occupancy_resolution: int = 256  # max_dim//4 (ref vol_renderer.py:106)
+    # Density threshold below which a cell is culled (the EMA grid's
+    # mask cut).  The default matches Instant-NGP's 0.01 regime for
+    # hash fields; CP fields may need it paired with sigma_l1_weight
+    # (empty-space fog) — calibrate via quality_matrix occ_frac.
+    occ_threshold: float = 0.01
     # With occupancy on, keep only the first `compact_samples` occupied
     # samples of each ray (depth-ordered static compaction): the field
     # runs on B x K points instead of B x S.  0 disables. Empty-space
@@ -343,6 +348,12 @@ class TrainConfig:
     # (parallel/level_parallel.py shards the rank axis; each chip's
     # slice-local term IS its slice of the global objective).  0 = off.
     cp_tv_weight: float = 0.0
+    # L1 sparsity weight on sampled (positive) densities — TensoRF
+    # §5.3's density L1 restated for this sampler.  Suppresses
+    # empty-space fog so occupancy culling converges; essential for CP
+    # fields, whose separable factor products cannot represent exact
+    # zeros away from the subject (docs/PERF_NOTES.md round 3).  0 = off.
+    sigma_l1_weight: float = 0.0
     # Steps trained WITHOUT culling before the occupancy grid engages.
     # Culling decisions taken from a near-random field are wrong and
     # (with top-K compaction) self-reinforcing: truncated rays train a

@@ -1,13 +1,15 @@
 """Quality matrix on the HARD textured scene (VERDICT round-1 item 4).
 
 Trains every encoder operating mode at reference-scale hash parameters
-(T=2**16, N_max=2048, 128 samples/ray, 16k-ray batches) on the
-high-frequency textured_field scene (400x400, 20 train views + 1
-held-out), each under the SAME wall-clock budget, then evaluates the
-held-out view with the exact interpolant at 128 samples.
+(T=2**16, N_max=2048, 128 samples/ray, 16k-ray batches) on a hard
+procedural scene (400x400, 20 train views; --scene textured|humanoid),
+each under the SAME wall-clock budget, then evaluates a 4-POSE holdout
+set (interior orbit pose + exterior/closer/steeper off-orbit poses,
+VERDICT r2 item 3) with the exact interpolant at 128 samples and
+reports mean / std / min / per-pose PSNR.
 
 Emits JSON lines per mode and a final summary table for PERF_NOTES.md:
-mode, steps done, rays/s, train PSNR, held-out PSNR.
+mode, steps done, rays/s, train PSNR, held-out PSNR mean.
 
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality_matrix.py \
@@ -25,33 +27,60 @@ import jax.numpy as jnp
 import numpy as np
 
 
+SCENES = {"textured": "textured_field",
+          "humanoid": "textured_humanoid_field"}
+
+# Multi-pose holdout set (VERDICT r2 item 3): the legacy interior orbit
+# pose plus three poses OFF the training orbit (further out, closer in,
+# steeper) — all with eye distance in [3.2, 5.0] so the near=2/far=6
+# integration range still brackets the ~1-unit subject.
+HOLDOUT_EYES = (
+    None,                      # interior: orbit continuation (legacy pose)
+    (3.59, 3.01, 1.60),        # exterior: r=4.96, off-orbit azimuth
+    (2.62, -1.75, 0.50),       # closer, low elevation: r=3.19
+    (2.00, 0.50, 3.50),        # steep top-down: r=4.06
+)
+HOLDOUT_NAMES = ("interior", "exterior", "close_low", "top")
+
+
 def load_or_render_gt(H, W, views, focal_mult=1.1, radius=4.0,
-                      elevation=0.35):
-    """(K, poses, imgs) for the hard textured protocol; GT renders are
-    cached in /tmp (shared by quality_matrix and speedrun_30db)."""
+                      elevation=0.35, scene="textured"):
+    """(K, train_poses, hold_poses, train_imgs, hold_imgs) for the hard
+    quality protocol; GT renders are cached in /tmp (shared by
+    quality_matrix and speedrun_30db)."""
     import jax.numpy as jnp
     import numpy as np
 
     from human_body_reconstruction_tpu.data import synthetic
 
+    field = getattr(synthetic, SCENES[scene])
     focal = focal_mult * H
     K = jnp.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
                     jnp.float32)
-    poses = synthetic.orbit_poses(views + 1, radius=radius,
+    orbit = synthetic.orbit_poses(views + 1, radius=radius,
                                   elevation=elevation)
-    cache = f"/tmp/qm_gt_{H}x{W}_{views}.npz"
+    train_poses = orbit[:views]
+    hold_poses = np.stack(
+        [orbit[views]] + [synthetic.look_at_pose(e)
+                          for e in HOLDOUT_EYES if e is not None])
+    cache = f"/tmp/qm_gt_{scene}_{H}x{W}_{views}_v2.npz"
     if os.path.exists(cache):
-        imgs = np.load(cache)["imgs"]
+        d = np.load(cache)
+        train_imgs, hold_imgs = d["train"], d["hold"]
         print(f"GT loaded from {cache}", flush=True)
     else:
-        print(f"rendering {views + 1} GT views at {H}x{W} ...", flush=True)
+        print(f"rendering {views}+{len(hold_poses)} GT views at {H}x{W} "
+              f"({scene}) ...", flush=True)
         t0 = time.time()
-        imgs = np.stack([synthetic.render_gt_image(
-            H, W, K, poses[i], field=synthetic.textured_field,
-            num_samples=384) for i in range(views + 1)])
-        np.savez_compressed(cache, imgs=imgs)
+        train_imgs = np.stack([synthetic.render_gt_image(
+            H, W, K, p, field=field, num_samples=384)
+            for p in train_poses])
+        hold_imgs = np.stack([synthetic.render_gt_image(
+            H, W, K, p, field=field, num_samples=384)
+            for p in hold_poses])
+        np.savez_compressed(cache, train=train_imgs, hold=hold_imgs)
         print(f"GT done in {time.time() - t0:.0f}s", flush=True)
-    return K, poses, imgs
+    return K, train_poses, hold_poses, train_imgs, hold_imgs
 
 
 def make_modes(C, dense_grid):
@@ -221,6 +250,34 @@ def make_modes(C, dense_grid):
                                   occ_guided=True, occ_probes=64,
                                   occ_dt="mass"),
             train=C.TrainConfig(cp_tv_weight=1e-3)),
+        # Occupancy convergence on CP fields (VERDICT r2 item 2): the
+        # r48 run ended at occ_frac 0.84 — low-rank factor products
+        # cannot represent exact zeros, so empty space carries fog above
+        # the threshold.  A/B the TensoRF density-L1 (sigma_l1_weight)
+        # and a raised threshold against the uncured baseline.
+        "cp_r48_guided_k48_sl1e3": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=48),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass"),
+            train=C.TrainConfig(sigma_l1_weight=1e-3)),
+        "cp_r48_guided_k48_sl1e4": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=48),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass"),
+            train=C.TrainConfig(sigma_l1_weight=1e-4)),
+        "cp_r48_guided_k48_thr1": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=48),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass", occ_threshold=1.0)),
+        "cp_r32_guided_k32_sl1e4": C.PipelineConfig(
+            hash=cp32,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass"),
+            train=C.TrainConfig(sigma_l1_weight=1e-4)),
         # occupancy-grid resolution: finer cells classify the probe
         # ladder better once placement (not culling) is the consumer
         "int8_dense_guided_k32_mass_g256": C.PipelineConfig(
@@ -244,6 +301,8 @@ def main():
     ap.add_argument("--modes", type=str, default="")
     ap.add_argument("--max_steps", type=int, default=6000)
     ap.add_argument("--out", type=str, default="quality_matrix.json")
+    ap.add_argument("--scene", type=str, default="textured",
+                    choices=sorted(SCENES))
     args = ap.parse_args()
 
     from human_body_reconstruction_tpu.models import mlp as mlp_lib
@@ -256,11 +315,10 @@ def main():
     from human_body_reconstruction_tpu.utils import config as C
 
     H = W = args.height
-    K, poses, imgs = load_or_render_gt(H, W, args.views)
-    train_imgs = jnp.asarray(imgs[:args.views])
-    train_poses = jnp.asarray(poses[:args.views])
-    hold_img = imgs[args.views]
-    hold_pose = jnp.asarray(poses[args.views])
+    K, train_poses, hold_poses, train_imgs, hold_imgs = load_or_render_gt(
+        H, W, args.views, scene=args.scene)
+    train_imgs = jnp.asarray(train_imgs)
+    train_poses = jnp.asarray(train_poses)
 
     lo, hi = rays_lib.scene_bounds(H, W, K, train_poses, 2.0, 6.0)
     scene = {"mu": lo, "sigma": jnp.sqrt(jnp.sum((hi - lo) ** 2)),
@@ -287,7 +345,7 @@ def main():
         # — the truncated rays train fog, the grid never converges)
         warmup = cfg.train.occ_warmup_steps if cfg.render.occupancy else 0
         occ_pending = (occupancy.init_grid(cfg.render.occupancy_resolution,
-                                           threshold=0.01)
+                                           threshold=cfg.render.occ_threshold)
                        if cfg.render.occupancy else None)
         state, tx = state_lib.create_train_state(params, cfg.train,
                                                  args.max_steps, occ=None)
@@ -339,18 +397,28 @@ def main():
         train_psnr = float(m["psnr"])
         rays_s = steps * args.batch / dt
 
-        # held-out eval: exact interpolant, 128 samples, no culling
+        # held-out eval: exact interpolant, 128 samples, no culling,
+        # over the 4-pose holdout set (interior + 3 off-orbit poses)
         eval_cfg = dataclasses.replace(
             cfg, hash=dataclasses.replace(cfg.hash, stochastic_train=False),
             render=dataclasses.replace(cfg.render, occupancy=False,
                                        compact_samples=0, occ_guided=False))
-        img = step_lib.render_image(state.params, scene, H, W, K, hold_pose,
-                                    eval_cfg, num_samples=128, chunk=32768)
-        mse = float(np.mean((img - hold_img) ** 2))
-        eval_psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        per_pose = {}
+        for pname, hpose, himg in zip(HOLDOUT_NAMES, hold_poses, hold_imgs):
+            img = step_lib.render_image(state.params, scene, H, W, K,
+                                        jnp.asarray(hpose), eval_cfg,
+                                        num_samples=128, chunk=32768)
+            mse = float(np.mean((img - himg) ** 2))
+            per_pose[pname] = round(10 * np.log10(1.0 / max(mse, 1e-12)), 2)
+        vals = list(per_pose.values())
+        eval_psnr = float(np.mean(vals))
         row = {"mode": name, "steps": steps, "rays_per_sec": round(rays_s, 1),
                "train_psnr": round(train_psnr, 2),
                "holdout_psnr": round(eval_psnr, 2),
+               "holdout_std": round(float(np.std(vals)), 2),
+               "holdout_min": round(float(np.min(vals)), 2),
+               "holdout_per_pose": per_pose,
+               "scene": args.scene,
                "budget_s": round(dt, 1)}
         if state.occ is not None:
             row["occ_frac"] = round(

@@ -81,11 +81,14 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     H = W = args.height
-    K, poses, imgs = load_or_render_gt(H, W, args.views)
-    train_imgs = jnp.asarray(imgs[:args.views])
-    train_poses = jnp.asarray(poses[:args.views])
-    hold_img = imgs[args.views]
-    hold_pose = jnp.asarray(poses[args.views])
+    K, train_poses, hold_poses, train_imgs, hold_imgs = load_or_render_gt(
+        H, W, args.views)
+    train_imgs = jnp.asarray(train_imgs)
+    train_poses = jnp.asarray(train_poses)
+    # the speedrun gates on the legacy interior holdout (comparable with
+    # the round-2 numbers); the quality matrix carries the 4-pose set
+    hold_img = hold_imgs[0]
+    hold_pose = jnp.asarray(hold_poses[0])
 
     lo, hi = rays_lib.scene_bounds(H, W, K, train_poses, 2.0, 6.0)
     scene = {"mu": lo, "sigma": jnp.sqrt(jnp.sum((hi - lo) ** 2)),
@@ -127,7 +130,7 @@ def main():
                                              args.max_steps)
     warmup = cfg.train.occ_warmup_steps
     occ_pending = occupancy.init_grid(cfg.render.occupancy_resolution,
-                                      threshold=0.01)
+                                      threshold=cfg.render.occ_threshold)
 
     step_fn = step_lib.train_step
     multi_fn = step_lib.train_step_multi

@@ -56,6 +56,15 @@ def build_parser():
     p.add_argument("--num_samples", type=int, default=256)
     p.add_argument("--hierarchical", action="store_true")
     p.add_argument("--chunk", type=int, default=16384)
+    p.add_argument("--fused", action="store_true",
+                   help="whole-frame one-dispatch render "
+                        "(render_image_fused): saves ~35 ms tunnel "
+                        "latency per chunk; mutually exclusive with "
+                        "--aot_cache")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 field compute during render (matches "
+                        "the training step; quality measured per "
+                        "checkpoint)")
     p.add_argument("--use_occ", action="store_true",
                    help="reuse the trained occupancy grid saved in the "
                         "checkpoint for empty-space culling")
@@ -191,11 +200,19 @@ def main(argv=None):
     views, psnrs, frames = [], [], []
     t0 = time.perf_counter()
     for n_done, i in enumerate(idx):
-        img = step_lib.render_image(
-            res.params, res.scene, H, W, K_j, jax.numpy.asarray(c2ws[i]),
-            cfg, occ=occ, num_samples=args.num_samples,
-            hierarchical=args.hierarchical, chunk=args.chunk,
-            render_fn=render_fn)
+        if args.fused and render_fn is None:
+            img = np.asarray(step_lib.render_image_fused(
+                res.params, res.scene, H, W, K_j,
+                jax.numpy.asarray(c2ws[i]), cfg, occ=occ,
+                num_samples=args.num_samples,
+                hierarchical=args.hierarchical,
+                chunk=min(args.chunk, H * W), bf16=args.bf16))
+        else:
+            img = step_lib.render_image(
+                res.params, res.scene, H, W, K_j, jax.numpy.asarray(c2ws[i]),
+                cfg, occ=occ, num_samples=args.num_samples,
+                hierarchical=args.hierarchical, chunk=args.chunk,
+                render_fn=render_fn)
         path = os.path.join(args.out_dir, f"{tag}_{i:04d}.png")
         frame = (np.clip(img, 0, 1) * 255).astype(np.uint8)
         Image.fromarray(frame).save(path)

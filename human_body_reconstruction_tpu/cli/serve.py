@@ -86,6 +86,15 @@ def build_parser():
     p.add_argument("--camera_angle_x", type=float, default=0.6911112)
     p.add_argument("--aot_cache", type=str, default="",
                    help="disk-backed compiled-executable cache dir")
+    p.add_argument("--fp32", action="store_true",
+                   help="render in float32 compute (default is bfloat16, "
+                        "matching the training step; measured-exactness "
+                        "knob for serving A/Bs)")
+    p.add_argument("--no_fused", action="store_true",
+                   help="per-chunk dispatch (render_image) instead of the "
+                        "one-dispatch whole-frame render_image_fused; the "
+                        "fused path saves ~35 ms of tunnel latency per "
+                        "chunk here")
     p.add_argument("--warmup", action="store_true",
                    help="render one default-size view at startup so the "
                         "first request never pays compile/upload latency")
@@ -178,10 +187,16 @@ class RenderServer:
         K = jnp.asarray([[focal, 0, W / 2.0], [0, focal, H / 2.0],
                          [0, 0, 1]], jnp.float32)
         t0 = time.perf_counter()
-        img = self.step_lib.render_image(
-            self.params, self.scene, H, W, K, jnp.asarray(c2w),
-            self._cfg_for(guided), occ=self.occ, num_samples=S,
-            chunk=min(a.chunk, H * W), render_fn=self.render_fn)
+        if a.no_fused or self.render_fn is not None:
+            img = self.step_lib.render_image(
+                self.params, self.scene, H, W, K, jnp.asarray(c2w),
+                self._cfg_for(guided), occ=self.occ, num_samples=S,
+                chunk=min(a.chunk, H * W), render_fn=self.render_fn)
+        else:
+            img = np.asarray(self.step_lib.render_image_fused(
+                self.params, self.scene, H, W, K, jnp.asarray(c2w),
+                self._cfg_for(guided), occ=self.occ, num_samples=S,
+                chunk=min(a.chunk, H * W), bf16=not a.fp32))
         wall = time.perf_counter() - t0
         self.n_served += 1
         self.rays_served += H * W

@@ -73,7 +73,9 @@ def _build_w(w_ref, xl, padded, offs, bm):
     level from per-level effective coordinates ``xl[:, l]``."""
     for l, (gp, off) in enumerate(zip(padded, offs)):
         xc = xl[:, l:l + 1]                                     # (bm, 1)
-        iota = jax.lax.broadcasted_iota(jnp.float32, (bm, gp), 1)
+        # Mosaic's tpu.iota is integer-only; cast to f32 for the hat
+        iota = jax.lax.broadcasted_iota(jnp.int32, (bm, gp), 1
+                                        ).astype(jnp.float32)
         hat = jnp.maximum(0.0, 1.0 - jnp.abs(iota - xc))        # (bm, gp)
         w_ref[:, off:off + gp] = hat.astype(jnp.bfloat16)
 

@@ -149,15 +149,60 @@ def train_step_multi(state: TrainState, scene, images, c2ws, K, key,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "num_samples", "hierarchical"))
+                   static_argnames=("cfg", "num_samples", "hierarchical",
+                                    "bf16"))
 def render_chunk(params, scene, rays_o, rays_d, dir_norm, key,
                  cfg: PipelineConfig, occ=None, num_samples: int = 256,
-                 hierarchical: bool = False):
-    """Eval-time render of one ray chunk (no jitter)."""
+                 hierarchical: bool = False, bf16: bool = False):
+    """Eval-time render of one ray chunk (no jitter).  ``bf16`` runs the
+    field in bfloat16 compute like the training step (the serving fast
+    path; exactness measured per checkpoint, cli/serve.py --fp32)."""
     out = nerf.render_rays(params, scene, rays_o, rays_d, dir_norm, key, cfg,
                            num_samples=num_samples, hierarchical=hierarchical,
-                           occ=occ, jitter=False)
+                           occ=occ, jitter=False,
+                           compute_dtype=jnp.bfloat16 if bf16 else None)
     return out["fine"]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "H", "W", "num_samples",
+                                    "hierarchical", "chunk", "bf16"))
+def render_image_fused(params, scene, H: int, W: int, K, c2w,
+                       cfg: PipelineConfig, occ=None,
+                       num_samples: int = 256, hierarchical: bool = False,
+                       chunk: int = 16384, key=None, bf16: bool = False):
+    """Whole-image render as ONE dispatch (serving fast path).
+
+    :func:`render_image`'s Python chunk loop syncs the host once per
+    chunk — through this environment's remote-execution tunnel that is
+    ~35 ms per chunk, ~0.4 s of pure latency on a 400x400 frame.  Here
+    ray generation + every chunk run inside one jit (lax.map over chunk
+    blocks), so a frame costs one dispatch and one D2H transfer.
+    Returns the (H, W, 3) image on device.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    o, d, n = rays_lib.full_image_rays(H, W, K, c2w)
+    total = H * W
+    pad = (-total) % chunk
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3))])
+        d = jnp.concatenate([d, jnp.ones((pad, 3))])
+        n = jnp.concatenate([n, jnp.ones((pad, 1))])
+    nb = (total + pad) // chunk
+
+    def body(blk):
+        ob, db, nb_ = blk
+        out = nerf.render_rays(
+            params, scene, ob, db, nb_, key, cfg,
+            num_samples=num_samples, hierarchical=hierarchical, occ=occ,
+            jitter=False, compute_dtype=jnp.bfloat16 if bf16 else None)
+        return out["fine"]
+
+    img = jax.lax.map(body, (o.reshape(nb, chunk, 3),
+                             d.reshape(nb, chunk, 3),
+                             n.reshape(nb, chunk, 1)))
+    return img.reshape(-1, 3)[:total].reshape(H, W, 3)
 
 
 def render_image(params, scene, H: int, W: int, K, c2w, cfg: PipelineConfig,

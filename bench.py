@@ -31,7 +31,17 @@ cannot be mistaken for the reference-semantics speed:
                    (ops/lowrank.py): fine levels as rank-16 factor
                    lines evaluated by block-diagonal MXU matmuls —
                    zero gathers/scatters in the encoder (the only
-                   random access left is the occupancy probes)
+                   random access left is the occupancy probes).  On
+                   TPU the two-hot matmuls run as the VMEM-resident
+                   Pallas kernel (ops/cp_pallas.py, cp_impl="auto"):
+                   the XLA formulation is HBM-bound on the two-hot
+                   matrix (measured 211 ms fwd+bwd at N=1.05M vs the
+                   kernel's 107 ms — roofline_cp_r16.json,
+                   pallas_ab.json)
+  cp_r32_guided_k32_scan8  the same operating point at rank 32 — the
+                   QUALITY flagship (33.5-36.4 dB holdout vs int8's
+                   30.0, qm_cp*.json); slower per step (encode FLOPs
+                   scale with R) but the best PSNR-per-wall-clock
 
 Guided modes use the default unbiased mass-dt estimator (rate-neutral
 vs clipped dt in a time-adjacent A/B; +0.3 dB at the 240s quality
@@ -212,6 +222,12 @@ def main():
             render=dataclasses.replace(render_occ, occ_guided=True,
                                        occ_probes=64, compact_samples=32),
             train=C.TrainConfig(ray_batch=32768)), 32768, 4, 8),
+        # rank-32 quality flagship at the same operating point
+        "cp_r32_guided_k32_scan8": (C.PipelineConfig(
+            hash=dataclasses.replace(cp_hash, cp_rank=32),
+            render=dataclasses.replace(render_occ, occ_guided=True,
+                                       occ_probes=64, compact_samples=32),
+            train=C.TrainConfig(ray_batch=32768)), 32768, 4, 8),
     }
 
     if args.modes:
@@ -236,7 +252,7 @@ def main():
     # 30.0 — CP is the quality flagship; int8 stays the rays/s leader)
     candidates = ("steady_state", "int8_dense", "int8_dense_guided",
                   "int8_dense_guided_k32", "int8_dense_guided_k32_scan8",
-                  "cp_guided_k32_scan8")
+                  "cp_guided_k32_scan8", "cp_r32_guided_k32_scan8")
     best = max((m for m in candidates if m in results), key=results.get)
     headline = results[best]
     print(json.dumps({

@@ -90,21 +90,28 @@ def _fwd_kernel(xa_ref, xb_ref, xc_ref, mat_ref, out_ref, w_ref, *,
 
 def _bwd_kernel(xa_ref, xb_ref, xc_ref, dt_ref, dm_ref, w_ref, *,
                 padded, offs, bm):
-    i = pl.program_id(0)
-    for d, x_ref in enumerate((xa_ref, xb_ref, xc_ref)):
-        _build_w(w_ref, x_ref[:], padded, offs, bm)
-        contrib = jax.lax.dot_general(
-            w_ref[:], dt_ref[d].astype(jnp.bfloat16),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                 # (sumG, C)
-
-        @pl.when(i == 0)
+    """Grid (3, nb): one axis at a time so the dM accumulator block is
+    (1, sum_G_pad, C) — a third of the all-axes version, which overflows
+    VMEM at rank 48 (C_pad 384: 21.8 MB f32)."""
+    d = pl.program_id(0)
+    i = pl.program_id(1)
+    for dd, x_ref in enumerate((xa_ref, xb_ref, xc_ref)):
+        @pl.when(d == dd)
         def _():
-            dm_ref[d] = contrib
+            _build_w(w_ref, x_ref[:], padded, offs, bm)
 
-        @pl.when(i > 0)
-        def _():
-            dm_ref[d] = dm_ref[d] + contrib
+    contrib = jax.lax.dot_general(
+        w_ref[:], dt_ref[0].astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # (sumG, C)
+
+    @pl.when(i == 0)
+    def _():
+        dm_ref[0] = contrib
+
+    @pl.when(i > 0)
+    def _():
+        dm_ref[0] = dm_ref[0] + contrib
 
 
 # ------------------------------------------------------------- dispatch
@@ -142,11 +149,20 @@ def _pallas_calls(sizes, b_pad: int, c_pad: int, bm: int, interpret: bool):
         cost_estimate=cost,
     )
 
+    # bwd sweeps (axis, point-tile): i fastest, so each axis' dM block
+    # accumulates to completion before the next axis is visited
+    x_spec_b = pl.BlockSpec((bm, n_lvl), lambda d, i: (i, 0),
+                            memory_space=pltpu.VMEM)
     bwd = pl.pallas_call(
         functools.partial(_bwd_kernel, padded=padded, offs=offs, bm=bm),
-        grid=grid,
-        in_specs=[x_spec, x_spec, x_spec, t_spec],
-        out_specs=dm_spec,
+        grid=(3, b_pad // bm),
+        in_specs=[
+            x_spec_b, x_spec_b, x_spec_b,
+            pl.BlockSpec((1, bm, c_pad), lambda d, i: (d, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, total, c_pad), lambda d, i: (d, 0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, total, c_pad), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,

@@ -49,8 +49,9 @@ def build_parser():
     p.add_argument("--num_batch", type=int, default=16000, help="Ray batch size")
     p.add_argument("--num_imgs", type=int, default=2,
                    help="accepted for parity (images per host batch)")
-    p.add_argument("--num_samples", type=int, default=64,
-                   help="Number of samples along ray")
+    p.add_argument("--num_samples", type=int, default=None,
+                   help="Number of samples along ray (default 128 "
+                        "flagship / 64 reference)")
     p.add_argument("--near", type=float, default=2.0, help="Near point")
     p.add_argument("--far", type=float, default=6.0, help="Far point")
     p.add_argument("--plot_grads", action="store_true",
@@ -75,17 +76,33 @@ def build_parser():
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--eval_every", type=int, default=0,
                    help="steps between eval renders (0: only with --write)")
+    p.add_argument("--preset", type=str, default="flagship",
+                   choices=["flagship", "reference"],
+                   help="defaults for flags you do NOT pass: 'flagship' "
+                        "is the quality/speed operating point from the "
+                        "quality matrix (CP rank-32 factor lines, dense "
+                        "coarse levels, occupancy-guided mass-dt "
+                        "placement, 128 samples); 'reference' matches "
+                        "the reference repo's hash defaults (corner "
+                        "hash, L=16/F=2, 64 samples, no culling).  Any "
+                        "explicit flag overrides its preset value, and "
+                        "hash-path flags (--stochastic/--packed/...) "
+                        "imply the hash encoder")
     p.add_argument("--occupancy", action="store_true",
                    help="enable occupancy-grid culling")
-    p.add_argument("--encoder_variant", type=str, default="corner",
+    p.add_argument("--no_occupancy", action="store_true",
+                   help="force culling OFF (overrides the flagship "
+                        "preset's default-on occupancy)")
+    p.add_argument("--encoder_variant", type=str, default=None,
                    choices=["corner", "cell", "cp"],
                    help="encoder: reference-exact 'corner' hash, TPU-fast "
                         "'cell' hash, or 'cp' rank-decomposed factor "
                         "lines (no hash table; all-MXU, zero gathers/"
-                        "scatters — ops/lowrank.py)")
-    p.add_argument("--cp_rank", type=int, default=16,
+                        "scatters — ops/lowrank.py).  Default: preset")
+    p.add_argument("--cp_rank", type=int, default=None,
                    help="with --encoder_variant cp: features per level "
-                        "(rank of each level's CP factorisation)")
+                        "(rank of each level's CP factorisation); "
+                        "default 32 (flagship) / 16")
     p.add_argument("--cp_tv", type=float, default=0.0,
                    help="with --encoder_variant cp: 1-D total-variation "
                         "weight on the factor lines (TensoRF-style "
@@ -100,17 +117,18 @@ def build_parser():
                    choices=["bf16", "int8"],
                    help="with --packed: bf16 pairs (F=2) or dynamically "
                         "quantised int8 (up to 4 features per lookup)")
-    p.add_argument("--num_levels", type=int, default=16,
-                   help="hash-grid levels L (reference hard-codes 16, "
-                        "train_hash2.py:46)")
+    p.add_argument("--num_levels", type=int, default=None,
+                   help="resolution levels L (reference hard-codes 16, "
+                        "train_hash2.py:46; flagship CP uses 8)")
     p.add_argument("--features_per_level", type=int, default=2,
                    help="features per level F (reference hard-codes 2); "
                         "L=8/F=4 --packed --pack_format int8 halves "
                         "lookups twice at the same 32-dim output")
-    p.add_argument("--dense_levels", type=int, default=0,
+    p.add_argument("--dense_levels", type=int, default=None,
                    help="store the first D coarse levels as DENSE grids "
                         "evaluated by MXU matmuls (collision-free, no "
-                        "gather/scatter); -1 picks D automatically")
+                        "gather/scatter); -1 picks D automatically "
+                        "(default: auto flagship / 0 reference)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the ray batch over all visible devices")
     p.add_argument("--level_parallel", type=int, default=0,
@@ -146,9 +164,10 @@ def build_parser():
                    help="backward table-gradient scatter: plain random "
                         "scatter-add, pre-sorted scatter, or sort + "
                         "segment-sum (exact in all cases)")
-    p.add_argument("--compact", type=int, default=0,
+    p.add_argument("--compact", type=int, default=None,
                    help="with --occupancy: keep only this many occupied "
-                        "samples per ray (static compaction)")
+                        "samples per ray (static compaction; flagship "
+                        "default 48 guided)")
     p.add_argument("--occ_guided", action="store_true",
                    help="with --occupancy: inverse-CDF sample placement "
                         "over occupied intervals instead of top-K "
@@ -161,10 +180,11 @@ def build_parser():
                    help="with --occ_guided: fraction of sample mass "
                         "routed to empty-marked intervals so "
                         "wrongly-culled cells can recover")
-    p.add_argument("--occ_probes", type=int, default=0,
+    p.add_argument("--occ_probes", type=int, default=None,
                    help="with --occ_guided: probe-interval count "
                         "(0 = --num_samples); fewer probes cut the "
-                        "per-step occupancy-lookup cost")
+                        "per-step occupancy-lookup cost (flagship "
+                        "default 64)")
     p.add_argument("--occ_threshold", type=float, default=0.01,
                    help="density threshold below which occupancy cells "
                         "are culled (RenderConfig.occ_threshold)")
@@ -206,15 +226,55 @@ def build_parser():
     return p
 
 
+def resolve_preset(args):
+    """Fill unset flags from the preset (VERDICT r2 item 4).
+
+    Explicit flags always win.  Hash-path flags (--stochastic/--packed/
+    --grad_*/--hw_rng) without --encoder_variant imply the 'corner'
+    hash encoder so every reference-style invocation keeps its
+    semantics; the bare zero-flag run gets the quality-matrix flagship
+    (CP rank-32, dense coarse levels, occupancy-guided mass-dt).
+    """
+    hash_flags = (args.stochastic or args.packed or args.grad_subsample
+                  or args.grad_level_subsample or args.grad_level_pair
+                  or args.hw_rng)
+    variant = args.encoder_variant
+    if variant is None:
+        variant = ("cp" if args.preset == "flagship" and not hash_flags
+                   else "corner")
+    flagship = args.preset == "flagship" and variant == "cp"
+    out = dict(
+        variant=variant,
+        num_levels=(args.num_levels if args.num_levels is not None
+                    else (8 if flagship else 16)),
+        cp_rank=(args.cp_rank if args.cp_rank is not None
+                 else (32 if flagship else 16)),
+        dense_levels=(args.dense_levels if args.dense_levels is not None
+                      else (-1 if flagship else 0)),
+        num_samples=(args.num_samples if args.num_samples is not None
+                     else (128 if flagship else 64)),
+        occupancy=(args.occupancy or flagship) and not args.no_occupancy,
+        compact=(args.compact if args.compact is not None
+                 else (48 if flagship else 0)),
+        occ_probes=(args.occ_probes if args.occ_probes is not None
+                    else (64 if flagship else 0)),
+    )
+    out["occ_guided"] = (args.occ_guided or flagship) and out["occupancy"]
+    if not out["occupancy"]:
+        out["compact"] = args.compact or 0
+    return out
+
+
 def make_config(args):
     from human_body_reconstruction_tpu.utils import config as C
 
+    r = resolve_preset(args)
     hcfg = C.HashConfig(n_max=int(args.max_res),
                         log2_table_size=int(args.hash_size),
-                        num_levels=args.num_levels,
+                        num_levels=r["num_levels"],
                         features_per_level=args.features_per_level,
-                        variant=args.encoder_variant,
-                        cp_rank=args.cp_rank,
+                        variant=r["variant"],
+                        cp_rank=r["cp_rank"],
                         stochastic_train=args.stochastic,
                         packed=args.packed,
                         pack_format=args.pack_format,
@@ -223,8 +283,8 @@ def make_config(args):
                         grad_level_pair=args.grad_level_pair,
                         hw_rng=args.hw_rng,
                         scatter_strategy=args.scatter_strategy,
-                        dense_levels=max(args.dense_levels, 0))
-    if args.dense_levels < 0:
+                        dense_levels=max(r["dense_levels"], 0))
+    if r["dense_levels"] < 0:
         from human_body_reconstruction_tpu.ops import dense_grid
 
         hcfg = dataclasses.replace(hcfg,
@@ -235,11 +295,11 @@ def make_config(args):
             density_activation="sdf" if args.use_sdf else "leaky_relu",
             rgb_activation="elu" if args.rgb_elu else "sigmoid"),
         render=C.RenderConfig(
-            near=args.near, far=args.far, num_samples=args.num_samples,
+            near=args.near, far=args.far, num_samples=r["num_samples"],
             hierarchical=args.hierarchical, use_sdf=args.use_sdf,
-            white_background=args.white_bg, occupancy=args.occupancy,
-            compact_samples=args.compact, occ_guided=args.occ_guided,
-            occ_probes=args.occ_probes, occ_explore=args.occ_explore,
+            white_background=args.white_bg, occupancy=r["occupancy"],
+            compact_samples=r["compact"], occ_guided=r["occ_guided"],
+            occ_probes=r["occ_probes"], occ_explore=args.occ_explore,
             occ_probe_jitter=args.occ_probe_jitter, occ_dt=args.occ_dt,
             occ_threshold=args.occ_threshold,
             eval_guided=args.eval_guided,

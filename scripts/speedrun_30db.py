@@ -58,7 +58,7 @@ def main():
                          "K=48, -0.09 dB, PERF_NOTES 'Serving'); the "
                          "30-dB crossing is still declared ONLY on a "
                          "full exact-ladder confirmation render")
-    ap.add_argument("--encoder", type=str, default="int8",
+    ap.add_argument("--encoder", type=str, default="cp",
                     choices=["int8", "cp"],
                     help="int8: the hash flagship (int8 packed gathers + "
                          "dense coarse levels); cp: the all-MXU CP "

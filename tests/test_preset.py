@@ -1,0 +1,66 @@
+"""--preset resolution (VERDICT r2 item 4): the zero-flag train_hash
+run is the quality-matrix flagship (CP r32 guided), reference-style
+invocations keep reference semantics, explicit flags always win."""
+
+from human_body_reconstruction_tpu.cli import train_hash
+
+
+def _cfg(argv):
+    return train_hash.make_config(train_hash.build_parser().parse_args(argv))
+
+
+def test_bare_run_is_cp_flagship():
+    cfg = _cfg([])
+    assert cfg.hash.variant == "cp"
+    assert cfg.hash.cp_rank == 32
+    assert cfg.hash.num_levels == 8
+    assert cfg.hash.dense_levels > 0          # auto-selected
+    assert cfg.render.num_samples == 128
+    assert cfg.render.occupancy and cfg.render.occ_guided
+    assert cfg.render.compact_samples == 48
+    assert cfg.render.occ_probes == 64
+    assert cfg.render.occ_dt == "mass"
+
+
+def test_hash_path_flags_imply_reference_hash_encoder():
+    cfg = _cfg(["--stochastic", "--packed", "--hw_rng"])
+    assert cfg.hash.variant == "corner"
+    assert cfg.hash.num_levels == 16
+    assert cfg.render.num_samples == 64
+    assert not cfg.render.occupancy
+
+
+def test_reference_preset_matches_reference_defaults():
+    cfg = _cfg(["--preset", "reference"])
+    assert cfg.hash.variant == "corner"
+    assert cfg.hash.num_levels == 16
+    assert cfg.hash.dense_levels == 0
+    assert cfg.render.num_samples == 64
+    assert not cfg.render.occupancy
+
+
+def test_explicit_flags_override_preset():
+    cfg = _cfg(["--cp_rank", "16", "--compact", "32", "--num_samples",
+                "96"])
+    assert cfg.hash.cp_rank == 16
+    assert cfg.render.compact_samples == 32
+    assert cfg.render.num_samples == 96
+
+
+def test_int8_invocation_unchanged():
+    cfg = _cfg(["--stochastic", "--packed", "--pack_format", "int8",
+                "--grad_subsample", "--num_levels", "8",
+                "--features_per_level", "4", "--dense_levels", "-1",
+                "--occupancy", "--compact", "32", "--occ_guided"])
+    assert cfg.hash.variant == "corner"
+    assert cfg.hash.pack_format == "int8"
+    assert cfg.hash.dense_levels > 0
+    assert cfg.render.compact_samples == 32
+
+
+def test_no_occupancy_disables_flagship_culling():
+    cfg = _cfg(["--no_occupancy"])
+    assert cfg.hash.variant == "cp"
+    assert not cfg.render.occupancy
+    assert not cfg.render.occ_guided
+    assert cfg.render.compact_samples == 0

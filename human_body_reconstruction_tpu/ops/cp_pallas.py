@@ -41,6 +41,7 @@ XLA path to bf16 rounding and are covered by tests/test_cp_pallas.py.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -118,80 +119,84 @@ def _bwd_kernel(xa_ref, xb_ref, xc_ref, dt_ref, dm_ref, w_ref, *,
 
 
 @functools.lru_cache(maxsize=32)
-def _pallas_calls(sizes, b_pad: int, c_pad: int, bm: int, interpret: bool):
-    """Build the fwd/bwd pallas_call callables for one static layout."""
+def _pallas_calls(sizes, b_pad: int, c_pad: int, bm_f: int, bm_b: int,
+                  interpret: bool):
+    """Build the fwd/bwd pallas_call callables for one static layout.
+
+    Forward and backward take separate point-tile sizes: on the v5e the
+    forward is fastest at 256 and the backward (whose accumulator block
+    is revisited, so bigger tiles amortise more) at 512
+    (pallas_ab.json); b_pad must be a multiple of both.
+    """
     offs, padded, total = padded_layout(sizes)
     n_lvl = len(sizes)
-    grid = (b_pad // bm,)
     cost = pl.CostEstimate(
         flops=2 * 3 * b_pad * total * c_pad,
         bytes_accessed=3 * b_pad * (n_lvl * 4 + c_pad * 4),
         transcendentals=0)
 
-    x_spec = pl.BlockSpec((bm, n_lvl), lambda i: (i, 0),
+    x_spec = pl.BlockSpec((bm_f, n_lvl), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((3, total, c_pad), lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((3, bm, c_pad), lambda i: (0, i, 0),
+    t_spec = pl.BlockSpec((3, bm_f, c_pad), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
-    dm_spec = pl.BlockSpec((3, total, c_pad), lambda i: (0, 0, 0),
-                           memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((bm, total), jnp.bfloat16)]
 
     fwd = pl.pallas_call(
-        functools.partial(_fwd_kernel, padded=padded, offs=offs, bm=bm),
-        grid=grid,
+        functools.partial(_fwd_kernel, padded=padded, offs=offs, bm=bm_f),
+        grid=(b_pad // bm_f,),
         in_specs=[x_spec, x_spec, x_spec, mat_spec],
         out_specs=t_spec,
         out_shape=jax.ShapeDtypeStruct((3, b_pad, c_pad), jnp.float32),
-        scratch_shapes=scratch,
+        scratch_shapes=[pltpu.VMEM((bm_f, total), jnp.bfloat16)],
         interpret=interpret,
         cost_estimate=cost,
     )
 
     # bwd sweeps (axis, point-tile): i fastest, so each axis' dM block
     # accumulates to completion before the next axis is visited
-    x_spec_b = pl.BlockSpec((bm, n_lvl), lambda d, i: (i, 0),
+    x_spec_b = pl.BlockSpec((bm_b, n_lvl), lambda d, i: (i, 0),
                             memory_space=pltpu.VMEM)
     bwd = pl.pallas_call(
-        functools.partial(_bwd_kernel, padded=padded, offs=offs, bm=bm),
-        grid=(3, b_pad // bm),
+        functools.partial(_bwd_kernel, padded=padded, offs=offs, bm=bm_b),
+        grid=(3, b_pad // bm_b),
         in_specs=[
             x_spec_b, x_spec_b, x_spec_b,
-            pl.BlockSpec((1, bm, c_pad), lambda d, i: (d, i, 0),
+            pl.BlockSpec((1, bm_b, c_pad), lambda d, i: (d, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, total, c_pad), lambda d, i: (d, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, total, c_pad), jnp.float32),
-        scratch_shapes=scratch,
+        scratch_shapes=[pltpu.VMEM((bm_b, total), jnp.bfloat16)],
         interpret=interpret,
         cost_estimate=cost,
     )
     return fwd, bwd
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _cp_matmul(xa, xb, xc, mats, sizes, bm, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _cp_matmul(xa, xb, xc, mats, sizes, bm_f, bm_b, interpret):
     """T[d] = W(x_d) @ mats[d] for the three axes.
 
     xa/xb/xc: (B_pad, L) f32 per-level effective coordinates per axis.
     mats: (3, sum_G_pad, C_pad) bf16 block-diagonal factor matrices.
     Returns (3, B_pad, C_pad) f32.
     """
-    fwd, _ = _pallas_calls(sizes, xa.shape[0], mats.shape[-1], bm,
+    fwd, _ = _pallas_calls(sizes, xa.shape[0], mats.shape[-1], bm_f, bm_b,
                            interpret)
     return fwd(xa, xb, xc, mats)
 
 
-def _cp_matmul_fwd(xa, xb, xc, mats, sizes, bm, interpret):
-    t = _cp_matmul(xa, xb, xc, mats, sizes, bm, interpret)
+def _cp_matmul_fwd(xa, xb, xc, mats, sizes, bm_f, bm_b, interpret):
+    t = _cp_matmul(xa, xb, xc, mats, sizes, bm_f, bm_b, interpret)
     return t, (xa, xb, xc, mats.shape[-1])
 
 
-def _cp_matmul_bwd(sizes, bm, interpret, res, dt):
+def _cp_matmul_bwd(sizes, bm_f, bm_b, interpret, res, dt):
     xa, xb, xc, c_pad = res
-    _, bwd = _pallas_calls(sizes, xa.shape[0], c_pad, bm, interpret)
+    _, bwd = _pallas_calls(sizes, xa.shape[0], c_pad, bm_f, bm_b,
+                           interpret)
     dm = bwd(xa, xb, xc, dt)
     return (jnp.zeros_like(xa), jnp.zeros_like(xb), jnp.zeros_like(xc),
             dm.astype(jnp.bfloat16))
@@ -211,12 +216,15 @@ def vmem_estimate_bytes(sizes, c_pad: int, bm: int) -> int:
 
 
 def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
-                     block: int = 512, interpret: bool = False):
+                     block: int = 0, block_bwd: int = 0,
+                     interpret: bool = False):
     """Drop-in replacement for :func:`ops.lowrank.cp_encode` running the
     two-hot matmuls as Pallas kernels (see module docstring).
 
     Semantics match cp_encode exactly (same clamping, bf16 operands,
     f32 accumulation, stop_gradient'ed fractions -> no position grads).
+    ``block``/``block_bwd`` are the fwd/bwd point-tile sizes (0 = the
+    measured v5e defaults 256/512, pallas_ab.json).
     """
     from human_body_reconstruction_tpu.ops import lowrank
     from human_body_reconstruction_tpu.ops.hash_encoding import level_scales
@@ -243,8 +251,10 @@ def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
     gmax = jnp.asarray([g - 2 for g in sizes], jnp.float32)
     xe = jnp.clip(x0f, 0.0, gmax[None, None, :]) + frac        # (N, 3, L)
 
-    bm = block
-    pad = (-n) % bm
+    bm_f = block or 256
+    bm_b = block_bwd or max(bm_f, 512)
+    lcm = bm_f * bm_b // math.gcd(bm_f, bm_b)
+    pad = (-n) % lcm
     if pad:
         xe = jnp.pad(xe, ((0, pad), (0, 0), (0, 0)))
 
@@ -256,6 +266,6 @@ def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
     mats = mats.astype(jnp.bfloat16)
 
     t = _cp_matmul(xe[:, 0, :], xe[:, 1, :], xe[:, 2, :], mats,
-                   sizes, bm, interpret)                       # (3,Np,Cp)
+                   sizes, bm_f, bm_b, interpret)               # (3,Np,Cp)
     out = t[0] * t[1] * t[2]
     return out[:n, :c]

@@ -331,6 +331,43 @@ def main():
 
     results = {}
     for name, cfg in modes.items():
+        try:
+            _run_mode(name, cfg, args, results, scene, train_imgs,
+                      train_poses, K, hold_poses, hold_imgs, H, W)
+        except Exception as e:  # flaky remote-compile 500s etc.: record,
+            # continue with the remaining modes, write partial results
+            import traceback
+            traceback.print_exc()
+            results[name] = {"mode": name, "error": repr(e)[:300]}
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+    print("\n| mode | steps | rays/s | train PSNR | holdout PSNR |")
+    print("|---|---|---|---|---|")
+    for name, r in results.items():
+        if "error" in r:
+            print(f"| {name} | ERROR | | | |")
+            continue
+        print(f"| {name} | {r['steps']} | {r['rays_per_sec']:.0f} | "
+              f"{r['train_psnr']:.2f} | {r['holdout_psnr']:.2f} |")
+
+
+def _run_mode(name, cfg, args, results, scene, train_imgs, train_poses, K,
+              hold_poses, hold_imgs, H, W):
+    import dataclasses
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from human_body_reconstruction_tpu.models import mlp as mlp_lib
+    from human_body_reconstruction_tpu.ops import hash_encoding as he
+    from human_body_reconstruction_tpu.ops import occupancy
+    from human_body_reconstruction_tpu.train import state as state_lib
+    from human_body_reconstruction_tpu.train import step as step_lib
+
+    if True:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            ray_batch=args.batch))
@@ -425,14 +462,6 @@ def main():
                 float(occupancy.occupied_fraction(state.occ)), 4)
         results[name] = row
         print(json.dumps(row), flush=True)
-
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
-    print("\n| mode | steps | rays/s | train PSNR | holdout PSNR |")
-    print("|---|---|---|---|---|")
-    for name, r in results.items():
-        print(f"| {name} | {r['steps']} | {r['rays_per_sec']:.0f} | "
-              f"{r['train_psnr']:.2f} | {r['holdout_psnr']:.2f} |")
 
 
 if __name__ == "__main__":

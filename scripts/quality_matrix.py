@@ -331,14 +331,24 @@ def main():
 
     results = {}
     for name, cfg in modes.items():
-        try:
-            _run_mode(name, cfg, args, results, scene, train_imgs,
-                      train_poses, K, hold_poses, hold_imgs, H, W)
-        except Exception as e:  # flaky remote-compile 500s etc.: record,
-            # continue with the remaining modes, write partial results
-            import traceback
-            traceback.print_exc()
-            results[name] = {"mode": name, "error": repr(e)[:300]}
+        # The remote compile helpers go down in windows of minutes (all
+        # endpoints 500 together, then recover — observed 2026-08-19
+        # 16:25-16:27): retry with a long backoff before recording a
+        # failure, then continue with the remaining modes either way.
+        for attempt in range(3):
+            try:
+                _run_mode(name, cfg, args, results, scene, train_imgs,
+                          train_poses, K, hold_poses, hold_imgs, H, W)
+                break
+            except Exception as e:
+                import traceback
+                traceback.print_exc()
+                results[name] = {"mode": name, "error": repr(e)[:300],
+                                 "attempts": attempt + 1}
+                if attempt < 2:
+                    print(f"  [{name}] attempt {attempt + 1} failed; "
+                          "sleeping 180 s before retry", flush=True)
+                    time.sleep(180)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
 

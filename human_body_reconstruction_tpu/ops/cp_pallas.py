@@ -217,7 +217,7 @@ def vmem_estimate_bytes(sizes, c_pad: int, bm: int) -> int:
 
 def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
                      block: int = 0, block_bwd: int = 0,
-                     interpret: bool = False):
+                     chunk: int = 2 ** 20, interpret: bool = False):
     """Drop-in replacement for :func:`ops.lowrank.cp_encode` running the
     two-hot matmuls as Pallas kernels (see module docstring).
 
@@ -225,6 +225,16 @@ def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
     f32 accumulation, stop_gradient'ed fractions -> no position grads).
     ``block``/``block_bwd`` are the fwd/bwd point-tile sizes (0 = the
     measured v5e defaults 256/512, pallas_ab.json).
+
+    ``chunk`` bounds the per-call point count: the kernel's T
+    intermediate is (3, N, C_pad) f32, and at rank 32 / N=2.1M (the
+    unculled 128-sample warmup step) the fwd+bwd residual set exceeds
+    the chip's 16 GB HBM — the AOT compile helper crashes during
+    allocation planning (bisect_r32.json).  Beyond ``chunk`` points the
+    encode runs as a rematerialised lax.map over point chunks (the
+    backward recomputes each chunk's T instead of saving it); the
+    flagship culled paths (<=1M points/step) stay single-chunk and pay
+    nothing.
     """
     from human_body_reconstruction_tpu.ops import lowrank
     from human_body_reconstruction_tpu.ops.hash_encoding import level_scales
@@ -254,7 +264,8 @@ def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
     bm_f = block or 256
     bm_b = block_bwd or max(bm_f, 512)
     lcm = bm_f * bm_b // math.gcd(bm_f, bm_b)
-    pad = (-n) % lcm
+    chunk = max(lcm, (chunk // lcm) * lcm)
+    pad = (-n) % (lcm if n <= chunk else chunk)
     if pad:
         xe = jnp.pad(xe, ((0, pad), (0, 0), (0, 0)))
 
@@ -265,7 +276,17 @@ def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
             mats, ln.astype(jnp.float32), (0, offs[l], l * rank))
     mats = mats.astype(jnp.bfloat16)
 
-    t = _cp_matmul(xe[:, 0, :], xe[:, 1, :], xe[:, 2, :], mats,
-                   sizes, bm_f, bm_b, interpret)               # (3,Np,Cp)
-    out = t[0] * t[1] * t[2]
+    def encode_chunk(xc, mats):
+        t = _cp_matmul(xc[:, 0, :], xc[:, 1, :], xc[:, 2, :], mats,
+                       sizes, bm_f, bm_b, interpret)           # (3,Np,Cp)
+        return t[0] * t[1] * t[2]
+
+    n_pad = xe.shape[0]
+    if n_pad <= chunk:
+        out = encode_chunk(xe, mats)
+    else:
+        xc = xe.reshape(n_pad // chunk, chunk, 3, xe.shape[-1])
+        out = jax.lax.map(
+            lambda xb: jax.checkpoint(encode_chunk)(xb, mats), xc
+        ).reshape(n_pad, -1)
     return out[:n, :c]

@@ -110,6 +110,32 @@ def test_rank_slice_shapes():
     assert float(jnp.max(jnp.abs(ref - out))) / scale < 2e-2
 
 
+def test_chunked_matches_single_chunk():
+    """Above the chunk cap the encode runs as a rematerialised lax.map
+    over point chunks; values and gradients must match the single-chunk
+    path exactly (the chunking is pure reassociation)."""
+    cfg = cfg_cp()
+    lines, x, mu, sigma = make_inputs(cfg, n=1500)
+    a = cp_pallas.cp_encode_pallas(lines, x, mu, sigma, cfg, block=128,
+                                   block_bwd=128)
+    b = cp_pallas.cp_encode_pallas(lines, x, mu, sigma, cfg, block=128,
+                                   block_bwd=128, chunk=512)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    def loss(fn):
+        return lambda l: jnp.sum(jnp.sin(fn(l)))
+
+    ga = jax.grad(loss(lambda l: cp_pallas.cp_encode_pallas(
+        l, x, mu, sigma, cfg, block=128, block_bwd=128)))(lines)
+    gb = jax.grad(loss(lambda l: cp_pallas.cp_encode_pallas(
+        l, x, mu, sigma, cfg, block=128, block_bwd=128, chunk=512)))(lines)
+    for p, q in zip(ga, gb):
+        # the dM cotangent is bf16 (it matches the bf16 factor-matrix
+        # primal), so per-chunk accumulation re-rounds: bf16 tolerance
+        scale = float(jnp.max(jnp.abs(p))) + 1e-9
+        assert float(jnp.max(jnp.abs(p - q))) / scale < 2e-2
+
+
 def test_block_padding_invariance():
     """Results must not depend on the point-block size (padding rows
     are sliced off; their cotangents are zero)."""

@@ -217,7 +217,7 @@ def vmem_estimate_bytes(sizes, c_pad: int, bm: int) -> int:
 
 def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
                      block: int = 0, block_bwd: int = 0,
-                     chunk: int = 2 ** 20, interpret: bool = False):
+                     chunk: int = 0, interpret: bool = False):
     """Drop-in replacement for :func:`ops.lowrank.cp_encode` running the
     two-hot matmuls as Pallas kernels (see module docstring).
 
@@ -232,9 +232,10 @@ def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
     the chip's 16 GB HBM — the AOT compile helper crashes during
     allocation planning (bisect_r32.json).  Beyond ``chunk`` points the
     encode runs as a rematerialised lax.map over point chunks (the
-    backward recomputes each chunk's T instead of saving it); the
-    flagship culled paths (<=1M points/step) stay single-chunk and pay
-    nothing.
+    backward recomputes each chunk's T instead of saving it).  The
+    default (0) scales the cap with the column width so the f+b
+    residual set stays ~11 GB — the flagship culled paths (<=1M points
+    at rank<=32, <=786k at rank 48) stay single-chunk and pay nothing.
     """
     from human_body_reconstruction_tpu.ops import lowrank
     from human_body_reconstruction_tpu.ops.hash_encoding import level_scales
@@ -264,6 +265,10 @@ def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
     bm_f = block or 256
     bm_b = block_bwd or max(bm_f, 512)
     lcm = bm_f * bm_b // math.gcd(bm_f, bm_b)
+    if chunk <= 0:
+        # residual set ~ 3 copies of the (3, chunk, c_pad) f32 T
+        # (saved T / recomputed T + dT + slack): cap it at ~11 GB
+        chunk = int(11e9 / (36 * c_pad))
     chunk = max(lcm, (chunk // lcm) * lcm)
     pad = (-n) % (lcm if n <= chunk else chunk)
     if pad:

@@ -217,17 +217,22 @@ def main():
         # MXU matmuls — ZERO random gathers forward and ZERO scatters
         # backward; the only remaining random memory access in the step
         # is the 64 occupancy probes per ray
+        # cp modes carry the factor-line TV of the recommended operating
+        # point (the off-orbit generalisation fix, qm_r3_textured2.json)
+        # — pure elementwise work on the lines, rate-neutral
         "cp_guided_k32_scan8": (C.PipelineConfig(
             hash=cp_hash,
             render=dataclasses.replace(render_occ, occ_guided=True,
                                        occ_probes=64, compact_samples=32),
-            train=C.TrainConfig(ray_batch=32768)), 32768, 4, 8),
+            train=C.TrainConfig(ray_batch=32768,
+                                cp_tv_weight=1e-2)), 32768, 4, 8),
         # rank-32 quality flagship at the same operating point
         "cp_r32_guided_k32_scan8": (C.PipelineConfig(
             hash=dataclasses.replace(cp_hash, cp_rank=32),
             render=dataclasses.replace(render_occ, occ_guided=True,
                                        occ_probes=64, compact_samples=32),
-            train=C.TrainConfig(ray_batch=32768)), 32768, 4, 8),
+            train=C.TrainConfig(ray_batch=32768,
+                                cp_tv_weight=1e-2)), 32768, 4, 8),
     }
 
     if args.modes:

@@ -111,7 +111,9 @@ def main():
                               occupancy_resolution=128,
                               compact_samples=32, occ_guided=True,
                               occ_probes=64, occ_dt="mass"),
-        train=C.TrainConfig(ray_batch=args.batch))
+        train=C.TrainConfig(ray_batch=args.batch,
+                            cp_tv_weight=(1e-2 if args.encoder == "cp"
+                                          else 0.0)))
     eval_cfg = dataclasses.replace(
         cfg, hash=dataclasses.replace(cfg.hash, stochastic_train=False),
         render=dataclasses.replace(cfg.render, occupancy=False,

@@ -20,6 +20,15 @@ def test_bare_run_is_cp_flagship():
     assert cfg.render.compact_samples == 48
     assert cfg.render.occ_probes == 64
     assert cfg.render.occ_dt == "mass"
+    # factor-line TV: the off-orbit generalisation fix (+6.9 dB on the
+    # 4-pose holdout mean, qm_r3_textured2.json)
+    assert cfg.train.cp_tv_weight == 1e-2
+
+
+def test_cp_tv_explicit_zero_disables():
+    cfg = _cfg(["--cp_tv", "0"])
+    assert cfg.hash.variant == "cp"
+    assert cfg.train.cp_tv_weight == 0.0
 
 
 def test_hash_path_flags_imply_reference_hash_encoder():

@@ -250,6 +250,28 @@ def make_modes(C, dense_grid):
                                   occ_guided=True, occ_probes=64,
                                   occ_dt="mass"),
             train=C.TrainConfig(cp_tv_weight=1e-3)),
+        # The bench headline operating points WITH the TV fix (rank 16
+        # and 32 at K=32) — validates exactly what bench.py measures
+        "cp_r16_guided_k32_tv1e2": C.PipelineConfig(
+            hash=cp16,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass"),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
+        "cp_r32_guided_k32_tv1e2": C.PipelineConfig(
+            hash=cp32,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass"),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
+        # TV + sigma-L1 together (smoothness + sparsity)
+        "cp_r32_guided_k48_tv1e2_sl1e4": C.PipelineConfig(
+            hash=cp32,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass"),
+            train=C.TrainConfig(cp_tv_weight=1e-2,
+                                sigma_l1_weight=1e-4)),
         # Occupancy convergence on CP fields (VERDICT r2 item 2): the
         # r48 run ended at occ_frac 0.84 — low-rank factor products
         # cannot represent exact zeros, so empty space carries fog above

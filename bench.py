@@ -124,6 +124,28 @@ def time_mode(name, cfg, batch, iters, scan=1):
     return batch * iters * scan / dt, occ_frac
 
 
+def cp_step_roofline(cfg, rate, compact_samples, peak_tflops):
+    """Analytic FLOP accounting + achieved MFU for a CP-mode train step.
+
+    Uses the same model as scripts/tpu_roofline_cp.py (analytic, NOT
+    compiled.cost_analysis — that undercounts lax.map/while bodies by
+    the trip count, docs/PERF_NOTES.md round 3): the encode's two-hot
+    matmuls are dense (N, sumG) x (sumG, C) per axis with C = L*R
+    (the block-diagonal zeros ride the MXU for free); backward adds
+    the dW and dM products (~2x fwd).  MLP FLOPs are <5% at r>=16 and
+    excluded, so this is the encode-only MFU — the number the measured
+    ~380k rays/s FLOP-floor statement in docs/PERF_NOTES.md refers to.
+    """
+    from human_body_reconstruction_tpu.ops import lowrank
+    sizes = lowrank.cp_line_sizes(cfg.hash)
+    c = len(sizes) * cfg.hash.cp_rank
+    flops_pt = 3 * (2 * 3 * sum(sizes) * c)  # fwd + ~2x fwd backward
+    tflops = flops_pt * rate * compact_samples / 1e12
+    return {"flops_per_point_fwd_bwd": flops_pt,
+            "achieved_tflops": round(tflops, 1),
+            "mfu": round(tflops / peak_tflops, 3)}
+
+
 def _wait_for_devices(attempts=4, delay_s=90):
     """The remote-TPU tunnel occasionally drops; give it a few minutes
     to come back before the (unattended) bench run gives up."""
@@ -242,14 +264,22 @@ def main():
             raise SystemExit(f"unknown modes {unknown}; have {list(modes)}")
         modes = {k: v for k, v in modes.items() if k in keep}
 
+    devkind = jax.devices()[0].device_kind.lower().replace(" ", "")
+    peak = {"v4": 275.0, "v5p": 459.0, "v6e": 918.0}.get(
+        next((k for k in ("v6e", "v5p", "v4") if k in devkind), ""), 197.0)
+
     results = {}
     occ_fracs = {}
+    rooflines = {}
     for name, spec in modes.items():
         cfg, batch, iters = spec[:3]
         scan = spec[3] if len(spec) > 3 else 1
         rate, occ_frac = time_mode(name, cfg, batch, iters, scan)
         results[name] = round(rate, 1)
         occ_fracs[name] = round(occ_frac, 3)
+        if cfg.hash.variant == "cp":
+            rooflines[name] = cp_step_roofline(
+                cfg, rate, cfg.render.compact_samples, peak)
 
     # headline candidates are quality-validated operating points ONLY
     # (cp_guided_k32_scan8 validated by qm_cp.json / qm_cp_sweep.json:
@@ -267,6 +297,8 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(headline / 5e6, 4),
         "modes": results,
+        "cp_roofline": rooflines,
+        "peak_bf16_tflops": peak,
         "note": ("'exact' is the reference-semantics interpolant with no "
                  "culling; the other modes are TPU operating points with "
                  "a converged occupancy grid (occupied fraction "

@@ -90,12 +90,14 @@ def _fwd_kernel(xa_ref, xb_ref, xc_ref, mat_ref, out_ref, w_ref, *,
 
 
 def _bwd_kernel(xa_ref, xb_ref, xc_ref, dt_ref, dm_ref, w_ref, *,
-                padded, offs, bm):
-    """Grid (3, nb): one axis at a time so the dM accumulator block is
-    (1, sum_G_pad, C) — a third of the all-axes version, which overflows
-    VMEM at rank 48 (C_pad 384: 21.8 MB f32)."""
+                padded, offs, bm, i_axis=1):
+    """Grid (3, nb) — or (3, n_cb, nb) when the dM accumulator block is
+    split over column tiles (``i_axis=2``): one axis at a time keeps the
+    block a third of the all-axes version, and the column split bounds
+    dM + its contrib intermediate, whose sum overflows Mosaic's 16 MB
+    scoped-VMEM stack at rank 48 (C_pad 384, measured 16.61 MB)."""
     d = pl.program_id(0)
-    i = pl.program_id(1)
+    i = pl.program_id(i_axis)
     for dd, x_ref in enumerate((xa_ref, xb_ref, xc_ref)):
         @pl.when(d == dd)
         def _():
@@ -154,19 +156,53 @@ def _pallas_calls(sizes, b_pad: int, c_pad: int, bm_f: int, bm_b: int,
     )
 
     # bwd sweeps (axis, point-tile): i fastest, so each axis' dM block
-    # accumulates to completion before the next axis is visited
-    x_spec_b = pl.BlockSpec((bm_b, n_lvl), lambda d, i: (i, 0),
-                            memory_space=pltpu.VMEM)
+    # accumulates to completion before the next axis is visited.  The
+    # backward's scoped-VMEM stack is W scratch + dM block + the contrib
+    # intermediate + the dt block; past ~15.5 MB (estimated — rank 48 at
+    # full width measures 16.61 MB > the 16 MB Mosaic limit) the dM and
+    # dt blocks are split over column tiles with a middle grid axis.
+    # When the full width fits (rank <= 32) the grid/specs below are
+    # byte-identical to the original 2-D formulation.
+    def bwd_stack(cbw):
+        return (bm_b * total * 2 + 2 * total * cbw * 4 + bm_b * cbw * 4)
+
+    cbw = c_pad
+    while cbw > 128 and bwd_stack(cbw) > 15.5e6:
+        cbw = max(128, ((cbw // 2 + 127) // 128) * 128)
+        while c_pad % cbw:
+            cbw -= 128
+    n_cb = c_pad // cbw
+
+    if n_cb == 1:
+        x_spec_b = pl.BlockSpec((bm_b, n_lvl), lambda d, i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        dt_spec = pl.BlockSpec((1, bm_b, c_pad), lambda d, i: (d, i, 0),
+                               memory_space=pltpu.VMEM)
+        dm_spec = pl.BlockSpec((1, total, c_pad), lambda d, i: (d, 0, 0),
+                               memory_space=pltpu.VMEM)
+        grid = (3, b_pad // bm_b)
+        i_axis = 1
+    else:
+        # column tiles on the middle axis, point tiles innermost: each
+        # (axis, column-block) dM block stays resident across the whole
+        # point sweep; W is rebuilt per step either way (it depends on
+        # the point tile), so the split costs n_cb x the VPU rebuilds
+        # and nothing else
+        x_spec_b = pl.BlockSpec((bm_b, n_lvl), lambda d, cb, i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        dt_spec = pl.BlockSpec((1, bm_b, cbw), lambda d, cb, i: (d, i, cb),
+                               memory_space=pltpu.VMEM)
+        dm_spec = pl.BlockSpec((1, total, cbw), lambda d, cb, i: (d, 0, cb),
+                               memory_space=pltpu.VMEM)
+        grid = (3, n_cb, b_pad // bm_b)
+        i_axis = 2
+
     bwd = pl.pallas_call(
-        functools.partial(_bwd_kernel, padded=padded, offs=offs, bm=bm_b),
-        grid=(3, b_pad // bm_b),
-        in_specs=[
-            x_spec_b, x_spec_b, x_spec_b,
-            pl.BlockSpec((1, bm_b, c_pad), lambda d, i: (d, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, total, c_pad), lambda d, i: (d, 0, 0),
-                               memory_space=pltpu.VMEM),
+        functools.partial(_bwd_kernel, padded=padded, offs=offs, bm=bm_b,
+                          i_axis=i_axis),
+        grid=grid,
+        in_specs=[x_spec_b, x_spec_b, x_spec_b, dt_spec],
+        out_specs=dm_spec,
         out_shape=jax.ShapeDtypeStruct((3, total, c_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bm_b, total), jnp.bfloat16)],
         interpret=interpret,

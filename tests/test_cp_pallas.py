@@ -75,6 +75,31 @@ def test_gradients_match_xla_path():
         assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-2
 
 
+def test_gradients_match_xla_path_rank48_column_split():
+    """Flagship-scale levels at rank 48 engage the column-split backward
+    (n_cb > 1): the full-width dM block + its contrib intermediate
+    measure 16.61 MB on hardware, over Mosaic's 16 MB scoped-VMEM stack,
+    so _pallas_calls tiles the dM columns.  Gradients must still match
+    the XLA path exactly up to bf16 rounding."""
+    cfg = cfg_cp(num_levels=8, n_max=2048, cp_rank=48)
+    sizes = tuple(lowrank.cp_line_sizes(cfg))
+    _, _, total = cp_pallas.padded_layout(sizes)
+    c_pad = ((len(sizes) * 48 + 127) // 128) * 128
+    # precondition: this layout actually exceeds the split threshold
+    assert 512 * total * 2 + 2 * total * c_pad * 4 + 512 * c_pad * 4 > 15.5e6
+    lines, x, mu, sigma = make_inputs(cfg, n=500)
+
+    def loss(fn):
+        return lambda l: jnp.sum(jnp.sin(fn(l, x, mu, sigma, cfg)))
+
+    gr = jax.grad(loss(lowrank.cp_encode))(lines)
+    gp = jax.grad(loss(lambda *a, **k: cp_pallas.cp_encode_pallas(
+        *a, **k)))(lines)
+    for a, b in zip(gr, gp):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-2
+
+
 def test_no_position_gradient():
     """Fractions are stop_gradient'ed in both paths: the encode output
     must carry no gradient to the input points."""

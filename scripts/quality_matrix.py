@@ -289,6 +289,14 @@ def make_modes(C, dense_grid):
                                   occ_guided=True, occ_probes=64,
                                   occ_dt="mass"),
             train=C.TrainConfig(sigma_l1_weight=1e-4)),
+        # rank 48 + the TV flagship regulariser: does more rank beat
+        # the r32 flagship once the off-orbit fix is in?
+        "cp_r48_guided_k48_tv1e2": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=48),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass"),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
         "cp_r48_guided_k48_thr1": C.PipelineConfig(
             hash=dataclasses.replace(cp16, cp_rank=48),
             render=C.RenderConfig(**r, **occ_kw, compact_samples=48,

@@ -19,7 +19,7 @@ python scripts/tpu_mlp_profile.py
 
 python scripts/quality_matrix.py --budget 240 --scene textured \
   --out qm_r3_textured3.json --modes \
-cp_r16_guided_k32_tv1e2,cp_r32_guided_k32_tv1e2,cp_r32_guided_k48_tv1e2_sl1e4,cp_r48_guided_k48_mass,cp_r48_guided_k48_sl1e4,cp_r48_guided_k48_thr1
+cp_r16_guided_k32_tv1e2,cp_r32_guided_k32_tv1e2,cp_r32_guided_k48_tv1e2_sl1e4,cp_r48_guided_k48_tv1e2,cp_r48_guided_k48_mass,cp_r48_guided_k48_sl1e4
 
 python scripts/quality_matrix.py --budget 240 --scene humanoid \
   --out qm_r3_humanoid3.json --modes cp_r32_guided_k32_tv1e2

@@ -213,6 +213,11 @@ def build_parser():
                         "probe-interval ends (biased low when samples "
                         "are sparser than probe intervals) or 'mass' "
                         "(unbiased importance weights)")
+    p.add_argument("--occ_stratified", action="store_true",
+                   help="with --occ_guided: stratified (one jittered "
+                        "draw per 1/K CDF stratum) instead of iid "
+                        "inverse-CDF u's — lower-variance placement and "
+                        "skips the per-ray sample sort")
     p.add_argument("--normalization", type=str, default="diagonal",
                    choices=["diagonal", "unit_box"],
                    help="scene->hash normalisation: reference 'diagonal' "
@@ -311,6 +316,7 @@ def make_config(args):
             compact_samples=r["compact"], occ_guided=r["occ_guided"],
             occ_probes=r["occ_probes"], occ_explore=args.occ_explore,
             occ_probe_jitter=args.occ_probe_jitter, occ_dt=args.occ_dt,
+            occ_stratified=args.occ_stratified,
             occ_threshold=args.occ_threshold,
             eval_guided=args.eval_guided,
             normalization=args.normalization),

@@ -186,7 +186,8 @@ def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
             explore_frac=cfg.render.occ_explore if guided_train else 0.0,
             jitter=jitter,
             probe_jitter=cfg.render.occ_probe_jitter and jitter,
-            dt_mode=cfg.render.occ_dt)
+            dt_mode=cfg.render.occ_dt,
+            stratified=cfg.render.occ_stratified and jitter)
         # Placement depends on (rays, occ grid) only — never on params —
         # so cut it out of the differentiated graph explicitly
         # (semantically a no-op; keeps the grad trace from ever touching

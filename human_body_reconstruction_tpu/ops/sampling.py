@@ -49,13 +49,19 @@ def stratified_ts(key, batch_shape, near, far, num_samples: int,
 
 
 def sample_pdf(key, bins, weights, num_samples: int, *,
-               deterministic: bool = False, eps: float = 1e-5, u=None):
+               deterministic: bool = False, eps: float = 1e-5, u=None,
+               stratified: bool = False):
     """Inverse-CDF sampling of a piecewise-constant pdf (per ray).
 
     Args:
       bins: (..., S) sorted bin positions (coarse t values).
       weights: (..., S-1) non-negative bin weights.
       num_samples: number of new samples to draw per ray.
+      stratified: draw u_i = (i + xi_i)/K (one jittered draw per CDF
+        stratum) instead of iid uniforms.  Strictly lower-variance for
+        the rendering integral, and since u is then increasing and the
+        inverse CDF is monotone, the returned t are ALREADY SORTED —
+        callers can skip their per-ray sort (occupancy_guided_ts does).
     Returns:
       (..., num_samples) new t values within [bins[0], bins[-1]].
     """
@@ -70,6 +76,10 @@ def sample_pdf(key, bins, weights, num_samples: int, *,
     elif deterministic:
         u = jnp.linspace(0.0, 1.0 - 1e-6, num_samples)
         u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_samples,))
+    elif stratified:
+        xi = jax.random.uniform(key, cdf.shape[:-1] + (num_samples,),
+                                maxval=1.0 - 1e-6)
+        u = (jnp.arange(num_samples, dtype=jnp.float32) + xi) / num_samples
     else:
         u = jax.random.uniform(key, cdf.shape[:-1] + (num_samples,),
                                maxval=1.0 - 1e-6)
@@ -112,7 +122,8 @@ def occupancy_guided_ts(key, rays_o, rays_d, occ, mu, sigma, near, far,
                         eps: float = 1e-3, jitter: bool = True,
                         explore_frac: float = 0.05,
                         probe_jitter: bool = False,
-                        dt_mode: str = "clip"):
+                        dt_mode: str = "clip",
+                        stratified: bool = False):
     """Occupancy-guided sample placement (NerfAcc-style, TPU-static).
 
     Replaces the fixed top-K truncation of ``compact_samples`` with
@@ -186,8 +197,12 @@ def occupancy_guided_ts(key, rays_o, rays_d, occ, mu, sigma, near, far,
     bins = near + jnp.arange(M + 1, dtype=jnp.float32) * h          # (M+1,)
     bins = jnp.broadcast_to(bins, m.shape[:-1] + (M + 1,))
     t = sample_pdf(key, bins, m, num_samples, deterministic=not jitter,
-                   eps=eps)
-    t = jnp.sort(t, axis=-1)                                        # (B, K)
+                   eps=eps, stratified=stratified)
+    if jitter and not stratified:
+        # iid uniforms land unordered; stratified/deterministic u is
+        # increasing and the inverse CDF is monotone, so t arrives
+        # sorted and the (per-ray, VPU-serial) sort is skipped
+        t = jnp.sort(t, axis=-1)                                    # (B, K)
     interval = jnp.floor((t - near) / h)                            # (B, K)
     if dt_mode == "mass":
         K = num_samples

@@ -311,6 +311,13 @@ class RenderConfig:
     # 30.18 at 6000) at identical step rate (docs/PERF_NOTES.md
     # "Unbiased mass-dt").
     occ_dt: str = "mass"
+    # With occ_guided training: draw the inverse-CDF u's stratified
+    # (one jittered draw per 1/K CDF stratum) instead of iid uniform.
+    # Strictly lower-variance placement, makes the mass-dt "each sample
+    # carries 1/K of the ray's mass" assumption structural, and the
+    # monotone u lets occupancy_guided_ts skip its per-ray sort.
+    # Off by default pending the on-chip quality A/B (batch G).
+    occ_stratified: bool = False
     # EVAL-time guided placement (serving): >0 renders each ray with
     # this many DETERMINISTIC inverse-CDF samples (stratified quantiles
     # of the per-ray occupied-probe CDF, exploration off, occupancy mask

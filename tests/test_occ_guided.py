@@ -467,3 +467,40 @@ def test_eval_guided_render_deterministic_and_close_to_ladder():
     tr_b = nerf.render_rays(params, scene, o, d, n, key, cfg_g, occ=occ)
     np.testing.assert_array_equal(np.asarray(tr_a["fine"]),
                                   np.asarray(tr_b["fine"]))
+
+
+def test_stratified_u_sorted_and_lands_in_band():
+    """stratified=True: t arrives sorted WITHOUT the per-ray sort, still
+    lands in the occupied band, and each sample sits in its own 1/K CDF
+    stratum (the mass-dt structural property)."""
+    occ = _grid_with_occupied_band()
+    B, K = 64, 24
+    o = jnp.tile(jnp.asarray([[0.5, 0.5, 0.0]]), (B, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (B, 1))
+    t, dt = sampling.occupancy_guided_ts(
+        jax.random.PRNGKey(0), o, d, occ, jnp.zeros(3), jnp.float32(1.0),
+        0.0, 1.0, K, num_probe=48, explore_frac=0.0, dt_mode="mass",
+        stratified=True)
+    tn = np.asarray(t)
+    assert (np.diff(tn, axis=-1) >= 0).all(), "stratified t must be sorted"
+    # the eps pdf floor leaks a little mass into empty intervals (same
+    # as the iid path — see test_samples_land_in_occupied_band)
+    frac_in = ((tn >= 0.39) & (tn <= 0.61)).mean()
+    assert frac_in > 0.95
+    assert np.isfinite(np.asarray(dt)).all()
+
+
+def test_stratified_sample_pdf_statistics_match_iid():
+    """Stratified u is an unbiased (lower-variance) estimator of the
+    same pdf: per-bin sample frequencies must match the pdf like the
+    iid path does, and every draw is monotone within a ray."""
+    bins = jnp.asarray([0.0, 1.0, 2.0, 3.0, 4.0])
+    w = jnp.asarray([0.1, 0.4, 0.2, 0.3])
+    R, K = 512, 64
+    t = sampling.sample_pdf(
+        jax.random.PRNGKey(3), jnp.broadcast_to(bins, (R, 5)),
+        jnp.broadcast_to(w, (R, 4)), K, stratified=True)
+    tn = np.asarray(t)
+    assert (np.diff(tn, axis=-1) >= 0).all()
+    freqs = np.histogram(tn.ravel(), bins=np.asarray(bins))[0] / tn.size
+    np.testing.assert_allclose(freqs, np.asarray(w), atol=0.01)

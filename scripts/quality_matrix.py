@@ -289,6 +289,31 @@ def make_modes(C, dense_grid):
                                   occ_guided=True, occ_probes=64,
                                   occ_dt="mass"),
             train=C.TrainConfig(sigma_l1_weight=1e-4)),
+        # Pad-free rank bumps: the kernel's padded FLOPs scale with
+        # C_pad = roundup(L_fine*R, 128), NOT with R — rank 21 (C=126)
+        # costs exactly rank 16's FLOPs and rank 42 (C=252) exactly
+        # rank 32's, each with +31% factor capacity free.
+        "cp_r21_guided_k32_tv1e2": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=21),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass"),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
+        "cp_r42_guided_k48_tv1e2": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=42),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass"),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
+        # Stratified inverse-CDF u (one draw per 1/K stratum): lower
+        # placement variance + skips the per-ray sample sort — rate and
+        # quality A/B against the iid flagship point
+        "cp_r32_guided_k32_tv1e2_strat": C.PipelineConfig(
+            hash=cp32,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass", occ_stratified=True),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
         # rank 48 + the TV flagship regulariser: does more rank beat
         # the r32 flagship once the off-orbit fix is in?
         "cp_r48_guided_k48_tv1e2": C.PipelineConfig(

@@ -17,6 +17,7 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/tpu_serving_r3.py
 
 import dataclasses
 import json
+import os
 import time
 
 import jax
@@ -119,6 +120,10 @@ def main():
         cfg, render=dataclasses.replace(cfg.render, eval_guided=48,
                                         occ_probes=128))
 
+    g64_cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, eval_guided=64,
+                                        occ_probes=128))
+
     ref_psnr = time_frames("loop", lambda: step_lib.render_image(
         state.params, scene, H, W, K, pose, eval_cfg, occ=occ,
         num_samples=128, chunk=16384))
@@ -131,13 +136,13 @@ def main():
     time_frames("fused_bf16_g48", lambda: step_lib.render_image_fused(
         state.params, scene, H, W, K, pose, g48_cfg, occ=occ,
         num_samples=128, chunk=16384, bf16=True), ref_psnr)
-    time_frames("fused_bf16_g48_c32k", lambda: step_lib.render_image_fused(
-        state.params, scene, H, W, K, pose, g48_cfg, occ=occ,
-        num_samples=128, chunk=32768, bf16=True), ref_psnr)
+    time_frames("fused_bf16_g64", lambda: step_lib.render_image_fused(
+        state.params, scene, H, W, K, pose, g64_cfg, occ=occ,
+        num_samples=128, chunk=16384, bf16=True), ref_psnr)
 
     payload = json.dumps(results, indent=1)
     print(payload, flush=True)
-    with open("serving_r3.json", "w") as f:
+    with open(os.environ.get("SERVING_OUT", "serving_r3.json"), "w") as f:
         f.write(payload)
 
 

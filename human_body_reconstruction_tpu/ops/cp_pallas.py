@@ -89,6 +89,21 @@ def _fwd_kernel(xa_ref, xb_ref, xc_ref, mat_ref, out_ref, w_ref, *,
                              preferred_element_type=jnp.float32)
 
 
+def _fwd_kernel_axis(xa_ref, xb_ref, xc_ref, mat_ref, out_ref, w_ref, *,
+                     padded, offs, bm):
+    """Per-axis forward (grid (3, nb)): only ONE axis' factor block is
+    VMEM-resident — the all-axes mat block (3, total, C_pad) bf16 alone
+    is 10.9 MB at rank 48 and the whole stack measures 18.18 MB, over
+    Mosaic's 16 MB scoped-VMEM limit."""
+    d = pl.program_id(0)
+    for dd, x_ref in enumerate((xa_ref, xb_ref, xc_ref)):
+        @pl.when(d == dd)
+        def _():
+            _build_w(w_ref, x_ref[:], padded, offs, bm)
+    out_ref[0] = jnp.dot(w_ref[:], mat_ref[0],
+                         preferred_element_type=jnp.float32)
+
+
 def _bwd_kernel(xa_ref, xb_ref, xc_ref, dt_ref, dm_ref, w_ref, *,
                 padded, offs, bm, i_axis=1):
     """Grid (3, nb) — or (3, n_cb, nb) when the dM accumulator block is
@@ -137,23 +152,50 @@ def _pallas_calls(sizes, b_pad: int, c_pad: int, bm_f: int, bm_b: int,
         bytes_accessed=3 * b_pad * (n_lvl * 4 + c_pad * 4),
         transcendentals=0)
 
-    x_spec = pl.BlockSpec((bm_f, n_lvl), lambda i: (i, 0),
-                          memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec((3, total, c_pad), lambda i: (0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((3, bm_f, c_pad), lambda i: (0, i, 0),
-                          memory_space=pltpu.VMEM)
-
-    fwd = pl.pallas_call(
-        functools.partial(_fwd_kernel, padded=padded, offs=offs, bm=bm_f),
-        grid=(b_pad // bm_f,),
-        in_specs=[x_spec, x_spec, x_spec, mat_spec],
-        out_specs=t_spec,
-        out_shape=jax.ShapeDtypeStruct((3, b_pad, c_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bm_f, total), jnp.bfloat16)],
-        interpret=interpret,
-        cost_estimate=cost,
-    )
+    # forward scoped-VMEM stack: all-axes mat block + W scratch + out
+    # block + the f32 hat/iota temporaries of the largest level (~2x).
+    # Past ~15.5 MB (rank 48 measures 18.18 MB > the 16 MB limit) the
+    # grid splits per axis so only one axis' factor block is resident;
+    # rank <= 32 keeps the original single-sweep formulation.
+    gmax_pad = max(padded)
+    fwd_stack = (3 * total * c_pad * 2 + bm_f * total * 2
+                 + 3 * bm_f * c_pad * 4 + 2 * bm_f * gmax_pad * 4)
+    if fwd_stack <= 15.5e6:
+        x_spec = pl.BlockSpec((bm_f, n_lvl), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        mat_spec = pl.BlockSpec((3, total, c_pad), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        t_spec = pl.BlockSpec((3, bm_f, c_pad), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+        fwd = pl.pallas_call(
+            functools.partial(_fwd_kernel, padded=padded, offs=offs,
+                              bm=bm_f),
+            grid=(b_pad // bm_f,),
+            in_specs=[x_spec, x_spec, x_spec, mat_spec],
+            out_specs=t_spec,
+            out_shape=jax.ShapeDtypeStruct((3, b_pad, c_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((bm_f, total), jnp.bfloat16)],
+            interpret=interpret,
+            cost_estimate=cost,
+        )
+    else:
+        x_spec = pl.BlockSpec((bm_f, n_lvl), lambda d, i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        mat_spec = pl.BlockSpec((1, total, c_pad), lambda d, i: (d, 0, 0),
+                                memory_space=pltpu.VMEM)
+        t_spec = pl.BlockSpec((1, bm_f, c_pad), lambda d, i: (d, i, 0),
+                              memory_space=pltpu.VMEM)
+        fwd = pl.pallas_call(
+            functools.partial(_fwd_kernel_axis, padded=padded, offs=offs,
+                              bm=bm_f),
+            grid=(3, b_pad // bm_f),
+            in_specs=[x_spec, x_spec, x_spec, mat_spec],
+            out_specs=t_spec,
+            out_shape=jax.ShapeDtypeStruct((3, b_pad, c_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((bm_f, total), jnp.bfloat16)],
+            interpret=interpret,
+            cost_estimate=cost,
+        )
 
     # bwd sweeps (axis, point-tile): i fastest, so each axis' dM block
     # accumulates to completion before the next axis is visited.  The

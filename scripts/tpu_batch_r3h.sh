@@ -13,6 +13,6 @@ fi
 
 python scripts/quality_matrix.py --budget 240 --scene textured \
   --out qm_r3_textured5.json --modes \
-cp_r48_guided_k48_tv1e2,cp_r48_guided_k48_mass,cp_r48_guided_k48_sl1e4
+cp_r48_guided_k48_tv1e2,cp_r48_guided_k48_mass,cp_r48_guided_k48_sl1e4,cp_r32_guided_k32_tv1e2,cp_r32_guided_k48_tv1e2_sl1e4
 
 echo BATCH H DONE

@@ -305,6 +305,22 @@ def make_modes(C, dense_grid):
                                   occ_guided=True, occ_probes=64,
                                   occ_dt="mass"),
             train=C.TrainConfig(cp_tv_weight=1e-2)),
+        # TV scale ladder at K=32 (the humanoid collapse diagnosis:
+        # TV 1e-2 under-fits the humanoid scene to 19.5 dB TRAIN —
+        # where does the scale stop hurting the easy scene while still
+        # fixing the textured off-orbit ripple?)
+        "cp_r32_guided_k32_tv1e3": C.PipelineConfig(
+            hash=cp32,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass"),
+            train=C.TrainConfig(cp_tv_weight=1e-3)),
+        "cp_r32_guided_k32_tv1e4": C.PipelineConfig(
+            hash=cp32,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass"),
+            train=C.TrainConfig(cp_tv_weight=1e-4)),
         # Stratified inverse-CDF u (one draw per 1/K stratum): lower
         # placement variance + skips the per-ray sample sort — rate and
         # quality A/B against the iid flagship point

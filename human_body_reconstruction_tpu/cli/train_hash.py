@@ -111,6 +111,13 @@ def build_parser():
                         "what makes CP generalise OFF the training orbit "
                         "(+6.9 dB on the 4-pose holdout mean, "
                         "qm_r3_textured2.json)")
+    p.add_argument("--cp_tv_warmup", type=int, default=None,
+                   help="steps to hold --cp_tv at zero before enabling "
+                        "it (flagship default: --occ_warmup + 64).  TV "
+                        "smoothing during the early fit flattens the "
+                        "density the occupancy warmup refresh reads, "
+                        "wrongly culls the subject and starves guided "
+                        "placement (qm_r3_humanoid3.json)")
     p.add_argument("--stochastic", action="store_true",
                    help="unbiased single-corner hash sampling during "
                         "training (8x fewer gathers)")
@@ -273,6 +280,13 @@ def resolve_preset(args):
         # qm_r3_textured2.json)
         cp_tv=(args.cp_tv if args.cp_tv is not None
                else (1e-2 if flagship else 0.0)),
+        # TV sits out until culling locks onto the subject — smoothing
+        # the early fit flattens the density the warmup-end occupancy
+        # refresh reads, wrongly culls the subject, and guided
+        # placement starves (the humanoid collapse,
+        # qm_r3_humanoid3.json).  occ_warmup + one update cadence.
+        cp_tv_warmup=(args.cp_tv_warmup if args.cp_tv_warmup is not None
+                      else (args.occ_warmup + 64 if flagship else 0)),
     )
     out["occ_guided"] = (args.occ_guided or flagship) and out["occupancy"]
     if not out["occupancy"]:
@@ -325,6 +339,7 @@ def make_config(args):
             update_rate=args.update_rate, seed=args.seed,
             occ_warmup_steps=args.occ_warmup,
             cp_tv_weight=r["cp_tv"],
+            cp_tv_warmup=r["cp_tv_warmup"],
             sigma_l1_weight=args.sigma_l1),
     )
 

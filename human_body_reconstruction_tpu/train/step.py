@@ -52,7 +52,7 @@ def sample_ray_batch(key, images, c2ws, K, batch: int):
 
 
 def loss_fn(params, scene, batch, key, cfg: PipelineConfig, occ,
-            compute_dtype):
+            compute_dtype, step=None):
     rays_o, rays_d, dir_norm, gt = batch
     out = nerf.render_rays(params, scene, rays_o, rays_d, dir_norm, key,
                            cfg, occ=occ, compute_dtype=compute_dtype)
@@ -77,7 +77,20 @@ def loss_fn(params, scene, batch, key, cfg: PipelineConfig, occ,
                  for ln in params["lines"]) / len(params["lines"])
         if cfg.hash.level_axis is not None:
             tv = jax.lax.psum(tv, cfg.hash.level_axis)
-        loss = loss + cfg.train.cp_tv_weight * tv
+        w = cfg.train.cp_tv_weight
+        if cfg.train.cp_tv_warmup > 0 and step is not None:
+            # Delay TV until occupancy culling has locked onto the
+            # subject: TV flattens the factor lines (and so the density
+            # field) during the early fit, the warmup-end occupancy
+            # refresh then reads a flattened field and wrongly culls
+            # most of the subject, and guided placement starves — the
+            # humanoid-scene collapse (38.3 -> 19.8 dB holdout, train
+            # fit lost at 19.5 dB, qm_r3_humanoid3.json).  TV's
+            # off-orbit job is suppressing factor ripple in the
+            # CONVERGED field's never-sampled space; it loses nothing
+            # by sitting out the first few hundred steps.
+            w = w * (step >= cfg.train.cp_tv_warmup)
+        loss = loss + w * tv
         aux["cp_tv"] = tv
     if cfg.train.sigma_l1_weight > 0.0:
         # L1 sparsity on sampled densities (TensoRF §5.3's density L1,
@@ -105,7 +118,8 @@ def _train_step_impl(state: TrainState, scene, images, c2ws, K, key,
     k_batch, k_render = jax.random.split(jax.random.fold_in(key, state.step))
     batch = sample_ray_batch(k_batch, images, c2ws, K, batch_size)
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, scene, batch, k_render, cfg, state.occ, compute_dtype)
+        state.params, scene, batch, k_render, cfg, state.occ, compute_dtype,
+        step=state.step)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     metrics = {"loss": loss, **aux}

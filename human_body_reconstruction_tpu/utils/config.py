@@ -355,6 +355,13 @@ class TrainConfig:
     # (parallel/level_parallel.py shards the rank axis; each chip's
     # slice-local term IS its slice of the global objective).  0 = off.
     cp_tv_weight: float = 0.0
+    # Steps to hold cp_tv at ZERO before enabling it (0 = on from step
+    # 0).  TV flattens the early density fit; if the occupancy warmup
+    # refresh reads that flattened field it wrongly culls the subject
+    # and guided placement starves (the humanoid-scene collapse,
+    # qm_r3_humanoid3.json / docs/PERF_NOTES.md).  Set past
+    # occ_warmup_steps so culling locks on before smoothing begins.
+    cp_tv_warmup: int = 0
     # L1 sparsity weight on sampled (positive) densities — TensoRF
     # §5.3's density L1 restated for this sampler.  Suppresses
     # empty-space fog so occupancy culling converges; essential for CP

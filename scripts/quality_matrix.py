@@ -321,6 +321,14 @@ def make_modes(C, dense_grid):
                                   occ_guided=True, occ_probes=64,
                                   occ_dt="mass"),
             train=C.TrainConfig(cp_tv_weight=1e-4)),
+        # TV 1e-2 with warmup: zero TV until culling locks on (the
+        # flagship-preset candidate fix for the humanoid collapse)
+        "cp_r32_guided_k32_tv1e2_w320": C.PipelineConfig(
+            hash=cp32,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass"),
+            train=C.TrainConfig(cp_tv_weight=1e-2, cp_tv_warmup=320)),
         # Stratified inverse-CDF u (one draw per 1/K stratum): lower
         # placement variance + skips the per-ray sample sort — rate and
         # quality A/B against the iid flagship point

@@ -388,3 +388,46 @@ def test_cp_tv_rejects_non_cp_variant():
                          train=C.TrainConfig(cp_tv_weight=0.1))
     # and the valid combination still constructs
     C.PipelineConfig(hash=cfg_cp(), train=C.TrainConfig(cp_tv_weight=0.1))
+
+
+def test_cp_tv_warmup_gates_the_penalty_by_step():
+    """cp_tv_warmup > 0: the TV term contributes ZERO loss before the
+    warmup step and the full weighted term after (the humanoid-collapse
+    fix: TV must not flatten the field the occupancy warmup refresh
+    reads — qm_r3_humanoid3.json)."""
+    from human_body_reconstruction_tpu.models import mlp as mlp_lib
+    from human_body_reconstruction_tpu.train import step as step_lib
+    from human_body_reconstruction_tpu.utils import config as C
+
+    hcfg = HashConfig(num_levels=3, n_min=4, n_max=16, variant="cp",
+                      cp_rank=4, dense_levels=1, dense_bf16=False)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        **he.init_encoder(k1, hcfg),
+        "mlp": mlp_lib.init_mlp3d(k2, C.MLPConfig(), hcfg.out_dim,
+                                  C.PosEncConfig().out_dim),
+    }
+    scene = {"mu": jnp.zeros(3), "sigma": jnp.asarray(8.0),
+             "min_bound": jnp.zeros(3), "max_bound": jnp.full((3,), 8.0)}
+    batch = (jnp.zeros((16, 3)),
+             jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (16, 1)),
+             jnp.ones((16,)), jnp.zeros((16, 3)))
+    key = jax.random.PRNGKey(1)
+
+    def loss_at(w, warmup, step):
+        cfg = C.PipelineConfig(
+            hash=hcfg, render=C.RenderConfig(num_samples=8),
+            train=C.TrainConfig(cp_tv_weight=w, cp_tv_warmup=warmup))
+        return step_lib.loss_fn(params, scene, batch, key, cfg, None,
+                                None, step=jnp.asarray(step))
+
+    l_off, _ = loss_at(0.0, 0, 0)
+    l_pre, aux_pre = loss_at(2.0, 100, 99)
+    l_post, aux_post = loss_at(2.0, 100, 100)
+    l_nowarm, _ = loss_at(2.0, 0, 0)
+    # before warmup: weighted term absent from the loss (metric stays)
+    np.testing.assert_allclose(float(l_pre), float(l_off), rtol=1e-6)
+    assert float(aux_pre["cp_tv"]) > 0.0
+    # at/after warmup: identical to the no-warmup loss
+    np.testing.assert_allclose(float(l_post), float(l_nowarm), rtol=1e-6)
+    assert float(l_post) > float(l_pre)

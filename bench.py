@@ -255,6 +255,17 @@ def main():
                                        occ_probes=64, compact_samples=32),
             train=C.TrainConfig(ray_batch=32768,
                                 cp_tv_weight=1e-2)), 32768, 4, 8),
+        # pad-free rank bump: the kernel's padded FLOPs scale with
+        # roundup(L_fine*R, 128), not R — rank 21 (C=126) costs rank
+        # 16's FLOPs with +31% capacity (quality-validated at 32.13 dB
+        # mean 4-pose holdout vs r16's 31.83 at the SAME 156k in-trainer
+        # rate, qm_r3_textured4.json)
+        "cp_r21_guided_k32_scan8": (C.PipelineConfig(
+            hash=dataclasses.replace(cp_hash, cp_rank=21),
+            render=dataclasses.replace(render_occ, occ_guided=True,
+                                       occ_probes=64, compact_samples=32),
+            train=C.TrainConfig(ray_batch=32768,
+                                cp_tv_weight=1e-2)), 32768, 4, 8),
     }
 
     if args.modes:
@@ -287,7 +298,8 @@ def main():
     # 30.0 — CP is the quality flagship; int8 stays the rays/s leader)
     candidates = ("steady_state", "int8_dense", "int8_dense_guided",
                   "int8_dense_guided_k32", "int8_dense_guided_k32_scan8",
-                  "cp_guided_k32_scan8", "cp_r32_guided_k32_scan8")
+                  "cp_guided_k32_scan8", "cp_r32_guided_k32_scan8",
+                  "cp_r21_guided_k32_scan8")
     best = max((m for m in candidates if m in results), key=results.get)
     headline = results[best]
     print(json.dumps({

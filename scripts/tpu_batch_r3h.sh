@@ -21,6 +21,6 @@ cp_r32_guided_k32_tv1e2_w320,cp_r32_guided_k32_tv1e3,cp_r32_guided_k32_tv1e4,cp_
 
 python scripts/quality_matrix.py --budget 240 --scene textured \
   --out qm_r3_textured5.json --modes \
-cp_r32_guided_k32_tv1e2_w320,cp_r32_guided_k32_tv1e4,cp_r48_guided_k48_tv1e2,cp_r48_guided_k48_mass
+cp_r32_guided_k32_tv1e2_w320,cp_r42_guided_k48_tv1e2,cp_r48_guided_k48_tv1e2,cp_r48_guided_k48_mass
 
 echo BATCH H DONE

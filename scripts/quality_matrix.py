@@ -338,6 +338,29 @@ def make_modes(C, dense_grid):
                                   occ_guided=True, occ_probes=64,
                                   occ_dt="mass", occ_stratified=True),
             train=C.TrainConfig(cp_tv_weight=1e-2)),
+        # Stratified combinations (strat alone: +1.5 dB AND +10% rate
+        # over iid at the r32/TV point — qm_r3_textured4.json): the
+        # fast candidate (r21), the record attempt (K=48 + sigma-L1),
+        # and the scene-safe full default (TV warmup) on humanoid
+        "cp_r21_guided_k32_tv1e2_strat": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=21),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass", occ_stratified=True),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
+        "cp_r32_guided_k48_tv1e2_sl1e4_strat": C.PipelineConfig(
+            hash=cp32,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=48,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass", occ_stratified=True),
+            train=C.TrainConfig(cp_tv_weight=1e-2,
+                                sigma_l1_weight=1e-4)),
+        "cp_r32_guided_k32_tv1e2_w320_strat": C.PipelineConfig(
+            hash=cp32,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass", occ_stratified=True),
+            train=C.TrainConfig(cp_tv_weight=1e-2, cp_tv_warmup=320)),
         # rank 48 + the TV flagship regulariser: does more rank beat
         # the r32 flagship once the off-orbit fix is in?
         "cp_r48_guided_k48_tv1e2": C.PipelineConfig(

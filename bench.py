@@ -136,14 +136,26 @@ def cp_step_roofline(cfg, rate, compact_samples, peak_tflops):
     excluded, so this is the encode-only MFU — the number the measured
     ~380k rays/s FLOP-floor statement in docs/PERF_NOTES.md refers to.
     """
-    from human_body_reconstruction_tpu.ops import lowrank
+    from human_body_reconstruction_tpu.ops import cp_pallas, lowrank
     sizes = lowrank.cp_line_sizes(cfg.hash)
     c = len(sizes) * cfg.hash.cp_rank
     flops_pt = 3 * (2 * 3 * sum(sizes) * c)  # fwd + ~2x fwd backward
+    # The Pallas kernel executes the 128-PADDED shapes (per-level
+    # segment rows padded to 128, C padded to a 128 multiple) — the very
+    # padding the pad-free-rank modes (r21/r42) exploit — so MFU is
+    # reported against the executed-padded FLOPs; the analytic exact
+    # count rides along as *_exact (ADVICE r3).
+    _, _, total_pad = cp_pallas.padded_layout(sizes)
+    c_pad = -(-c // 128) * 128
+    flops_pt_pad = 3 * (2 * 3 * total_pad * c_pad)
     tflops = flops_pt * rate * compact_samples / 1e12
-    return {"flops_per_point_fwd_bwd": flops_pt,
-            "achieved_tflops": round(tflops, 1),
-            "mfu": round(tflops / peak_tflops, 3)}
+    tflops_pad = flops_pt_pad * rate * compact_samples / 1e12
+    return {"flops_per_point_fwd_bwd": flops_pt_pad,
+            "achieved_tflops": round(tflops_pad, 1),
+            "mfu": round(tflops_pad / peak_tflops, 3),
+            "flops_per_point_fwd_bwd_exact": flops_pt,
+            "achieved_tflops_exact": round(tflops, 1),
+            "mfu_exact": round(tflops / peak_tflops, 3)}
 
 
 def _wait_for_devices(attempts=4, delay_s=90):

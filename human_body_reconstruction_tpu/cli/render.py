@@ -146,6 +146,16 @@ def _cameras_from_args(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    cache_dir = args.aot_cache or os.environ.get("HBR_AOT_CACHE")
+    if cache_dir and args.fused:
+        # The AOT cache stores the chunked render_chunk executable; the
+        # fused whole-frame path can't reuse it, so combining the two
+        # would silently fall back to per-chunk dispatch (ADVICE r3).
+        raise SystemExit(
+            "--fused and --aot_cache are mutually exclusive: the AOT "
+            "cache serves the chunked render path. Drop one (or unset "
+            "HBR_AOT_CACHE).")
+
     import jax
     import numpy as np
     from PIL import Image
@@ -185,7 +195,6 @@ def main(argv=None):
         idx = idx[:args.max_views]
 
     render_fn = None
-    cache_dir = args.aot_cache or os.environ.get("HBR_AOT_CACHE")
     if cache_dir:
         from human_body_reconstruction_tpu.utils import aot
 

@@ -128,7 +128,15 @@ def cp_encode(lines, x, mu, sigma, cfg: HashConfig, block: int = 0):
 
     impl = cfg.cp_impl
     if impl == "auto":
-        impl = ("pallas" if jax.default_backend() == "tpu" else "xla")
+        # The Pallas kernel computes in bf16 (W tiles and factor
+        # matrices are built bf16 for the MXU, cp_pallas.py); routing a
+        # dense_bf16=False config through it would silently change the
+        # numerics the flag promises, so 'auto' only picks the kernel
+        # when the config asked for bf16 compute anyway.  Explicitly
+        # setting cp_impl='pallas' opts into bf16 regardless.
+        impl = ("pallas"
+                if jax.default_backend() == "tpu" and cfg.dense_bf16
+                else "xla")
     if impl == "pallas":
         from human_body_reconstruction_tpu.ops import cp_pallas
 

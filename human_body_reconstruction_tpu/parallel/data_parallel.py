@@ -66,7 +66,7 @@ def make_dp_train_step(cfg: PipelineConfig, tx, batch_size: int, mesh: Mesh,
         batch = sample_ray_batch(k_batch, images, c2ws, K, local_batch)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, scene, batch, k_render, cfg, state.occ,
-            compute_dtype)
+            compute_dtype, step=state.step)
         # Gradient all-reduce over ICI; metrics averaged the same way.
         grads = jax.lax.pmean(grads, DATA_AXIS)
         loss = jax.lax.pmean(loss, DATA_AXIS)

@@ -191,7 +191,7 @@ def make_lp_train_step(cfg: PipelineConfig, tx, batch_size: int, mesh: Mesh,
             p = dict(p)
             p["lp_scales"] = scales_local  # placement data, not a param
             return loss_fn(p, scene, batch, k_render, cfg_lp, occ,
-                           compute_dtype)
+                           compute_dtype, step=step)
 
         (loss, aux), grads = jax.value_and_grad(wrapped, has_aux=True)(
             params)

@@ -92,7 +92,8 @@ def make_multi_train_step(cfg: PipelineConfig, tx, batch_per_scene: int,
         k_batch, k_render = jax.random.split(jax.random.fold_in(key, step))
         batch = sample_ray_batch(k_batch, images, c2ws, K, batch_per_scene)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, scene, batch, k_render, cfg, occ, compute_dtype)
+            params, scene, batch, k_render, cfg, occ, compute_dtype,
+            step=step)
         return grads, {"loss": loss, **aux}
 
     @functools.partial(jax.jit, donate_argnums=(0,))

@@ -123,7 +123,11 @@ class HashConfig:
     #             matrix in HBM — HBM-bound at flagship shapes),
     #   "pallas": ops/cp_pallas.py VMEM-resident kernel (W never leaves
     #             the chip; measured speedup in docs/PERF_NOTES.md r3),
-    #   "auto":   pallas on TPU backends, xla elsewhere.
+    #   "auto":   pallas on TPU backends when dense_bf16=True (the
+    #             kernel computes in bf16 internally), xla elsewhere —
+    #             so dense_bf16=False keeps its f32 meaning on TPU.
+    # Explicit "pallas" opts into bf16 kernel numerics regardless of
+    # dense_bf16.
     cp_impl: str = "auto"
     # Level-parallel (tensor-parallel) encoding: name of the mesh axis
     # that shards the hash table's LEVEL dimension.  Set only inside

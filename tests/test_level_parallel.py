@@ -457,3 +457,47 @@ def test_lp_cp_tv_matches_single_device_steps(dataset):
     np.testing.assert_allclose(results[4][2], results[1][2], rtol=1e-5)
     diff = np.abs(results[4][0] - results[1][0])
     assert diff.max() < 5e-3, diff.max()
+
+
+def test_lp_cp_tv_warmup_gates_tv(dataset):
+    """cp_tv_warmup must suppress TV under the level/rank-parallel step
+    (ADVICE r3 high: loss_fn lost the step argument here).  While
+    step < warmup the step must match a cp_tv_weight=0 step exactly,
+    and the gate must release once step crosses the warmup."""
+    scene = make_scene(dataset)
+    mesh = lp.make_lp_mesh(1, 4)
+
+    def run(tv_weight, warmup, n_steps=3):
+        cfg = small_cfg(variant="cp", cp_rank=8)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, cp_tv_weight=tv_weight, cp_tv_warmup=warmup))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        from human_body_reconstruction_tpu.ops import lowrank
+        params = {
+            "lines": lowrank.init_lines(k1, cfg.hash),
+            "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
+                                      cfg.dir_enc.out_dim),
+        }
+        state, tx = state_lib.create_train_state(params, cfg.train, 10)
+        state = lp.shard_lp_state(state, mesh)
+        step = lp.make_lp_train_step(cfg, tx, batch_size=256, mesh=mesh)
+        losses = []
+        for _ in range(n_steps):
+            state, m = step(state, scene, dataset["images"],
+                            dataset["c2ws"], dataset["K"],
+                            jax.random.PRNGKey(7))
+            losses.append(float(m["loss"]))
+        return np.asarray(state.params["lines"][0]), losses
+
+    lines_warm, loss_warm = run(0.5, warmup=100)
+    lines_off, loss_off = run(0.0, warmup=0)
+    lines_tv, loss_tv = run(0.5, warmup=0)
+    np.testing.assert_array_equal(lines_warm, lines_off)
+    np.testing.assert_allclose(loss_warm, loss_off, rtol=1e-6)
+    assert not np.array_equal(lines_tv, lines_off)
+    # warmup=2 releases the gate at step 2: first two steps match the
+    # TV-off run, the third diverges (TV now in the loss)
+    _, loss_w2 = run(0.5, warmup=2)
+    np.testing.assert_allclose(loss_w2[:2], loss_off[:2], rtol=1e-6)
+    assert loss_w2[2] != pytest.approx(loss_off[2], rel=1e-7)

@@ -117,3 +117,33 @@ def test_multi_scene_with_occupancy_and_compaction(stacked):
         lambda g: jnp.mean(g.mask))(state.occ))
     assert frac.shape == (S,)
     assert (frac <= 1.0).all() and (frac > 0.0).all()
+
+
+def test_multi_scene_cp_tv_warmup_gates_tv(stacked):
+    """cp_tv_warmup must suppress TV under the vmapped multi-scene step
+    (ADVICE r3 high: loss_fn was called without step here)."""
+    import dataclasses
+    _, scenes, images, c2ws, Ks = stacked
+    S = images.shape[0]
+
+    def run(tv_weight, warmup):
+        cfg = cfg_lib.PipelineConfig(
+            hash=cfg_lib.HashConfig(variant="cp", cp_rank=4, num_levels=4,
+                                    n_min=4, n_max=32),
+            render=cfg_lib.RenderConfig(num_samples=16),
+            train=cfg_lib.TrainConfig(ray_batch=256, cp_tv_weight=tv_weight,
+                                      cp_tv_warmup=warmup),
+        )
+        params = ms.init_multi_params(jax.random.PRNGKey(0), cfg, S)
+        state, tx = ms.create_multi_state(params, cfg, 10)
+        step = ms.make_multi_train_step(cfg, tx, batch_per_scene=256)
+        keys = jax.random.split(jax.random.PRNGKey(1), S)
+        state, m = step(state, scenes, images, c2ws, Ks, keys)
+        return (np.asarray(state.params["lines"][0]), float(m["loss"]))
+
+    lines_warm, loss_warm = run(0.5, warmup=100)
+    lines_off, loss_off = run(0.0, warmup=0)
+    lines_tv, _ = run(0.5, warmup=0)
+    np.testing.assert_array_equal(lines_warm, lines_off)
+    assert abs(loss_warm - loss_off) < 1e-6 * max(1.0, abs(loss_off))
+    assert not np.array_equal(lines_tv, lines_off)

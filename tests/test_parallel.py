@@ -173,3 +173,50 @@ def test_dp_render_matches_single_device(dataset):
                             compute_dtype=jnp.bfloat16)["fine"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5)
+
+
+def test_dp_cp_tv_warmup_gates_tv(dataset):
+    """cp_tv_warmup must suppress the TV term under the data-parallel
+    step (ADVICE r3 high: loss_fn was called without step, so the gate
+    silently never engaged and TV applied from step 0).  A step taken
+    while step < warmup must be bit-identical to a cp_tv_weight=0 step,
+    and differ from a warmup=0 step."""
+    import dataclasses
+    from human_body_reconstruction_tpu.ops import lowrank
+
+    def cp_cfg(tv_weight, warmup):
+        return cfg_lib.PipelineConfig(
+            hash=cfg_lib.HashConfig(variant="cp", cp_rank=4, num_levels=4,
+                                    n_min=4, n_max=32),
+            render=cfg_lib.RenderConfig(num_samples=16),
+            train=cfg_lib.TrainConfig(ray_batch=512, cp_tv_weight=tv_weight,
+                                      cp_tv_warmup=warmup),
+        )
+
+    mesh = dp.make_mesh()
+    scene = make_scene(dataset)
+
+    def one_step(tv_weight, warmup):
+        cfg = cp_cfg(tv_weight, warmup)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        params = {
+            "lines": lowrank.init_lines(k1, cfg.hash),
+            "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
+                                      cfg.dir_enc.out_dim),
+        }
+        state, tx = state_lib.create_train_state(params, cfg.train, 10)
+        state = dp.replicate_to_mesh(state, mesh)
+        step = dp.make_dp_train_step(cfg, tx, batch_size=512, mesh=mesh)
+        state, m = step(state, scene, dataset["images"], dataset["c2ws"],
+                        dataset["K"], jax.random.PRNGKey(3))
+        return (np.asarray(state.params["lines"][0]), float(m["loss"]))
+
+    lines_warm, loss_warm = one_step(0.5, warmup=100)
+    lines_off, loss_off = one_step(0.0, warmup=0)
+    lines_tv, loss_tv = one_step(0.5, warmup=0)
+    # gated step == TV-off step, exactly
+    np.testing.assert_array_equal(lines_warm, lines_off)
+    assert loss_warm == pytest.approx(loss_off, rel=1e-6)
+    # and the ungated step actually differs (TV is non-trivial here)
+    assert loss_tv > loss_off
+    assert not np.array_equal(lines_tv, lines_off)

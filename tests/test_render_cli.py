@@ -171,3 +171,14 @@ def test_render_cli_eval_guided(tmp_path):
         render.main([a for a in base if a != "--use_occ"]
                     + ["--eval_guided", "12",
                        "--out_dir", str(tmp_path / "rx")])
+
+
+def test_render_cli_rejects_fused_plus_aot_cache(tmp_path):
+    """--fused + --aot_cache would silently drop --fused (ADVICE r3):
+    the CLI must refuse the combination instead."""
+    from human_body_reconstruction_tpu.cli import render
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        render.main(["--ckpt_dir", str(tmp_path), "--model_name", "x",
+                     "--orbit", "2", "--fused",
+                     "--aot_cache", str(tmp_path / "aot")])

@@ -80,9 +80,10 @@ def build_parser():
                    choices=["flagship", "reference"],
                    help="defaults for flags you do NOT pass: 'flagship' "
                         "is the quality/speed operating point from the "
-                        "quality matrix (CP rank-32 factor lines, dense "
+                        "quality matrix (CP rank-21 factor lines, dense "
                         "coarse levels, occupancy-guided mass-dt "
-                        "placement, 128 samples); 'reference' matches "
+                        "stratified placement, TV 1e-2 after warmup, "
+                        "128 samples); 'reference' matches "
                         "the reference repo's hash defaults (corner "
                         "hash, L=16/F=2, 64 samples, no culling).  Any "
                         "explicit flag overrides its preset value, and "
@@ -102,7 +103,8 @@ def build_parser():
     p.add_argument("--cp_rank", type=int, default=None,
                    help="with --encoder_variant cp: features per level "
                         "(rank of each level's CP factorisation); "
-                        "default 32 (flagship) / 16")
+                        "default 21 (flagship; pad-free — costs rank "
+                        "16's FLOPs) / 16")
     p.add_argument("--cp_tv", type=float, default=None,
                    help="with --encoder_variant cp: 1-D total-variation "
                         "weight on the factor lines (TensoRF-style "
@@ -220,11 +222,17 @@ def build_parser():
                         "probe-interval ends (biased low when samples "
                         "are sparser than probe intervals) or 'mass' "
                         "(unbiased importance weights)")
-    p.add_argument("--occ_stratified", action="store_true",
+    p.add_argument("--occ_stratified", action="store_true", default=None,
                    help="with --occ_guided: stratified (one jittered "
                         "draw per 1/K CDF stratum) instead of iid "
-                        "inverse-CDF u's — lower-variance placement and "
-                        "skips the per-ray sample sort")
+                        "inverse-CDF u's — lower-variance placement "
+                        "(+1.5 dB, qm_r3_textured4.json) and skips the "
+                        "per-ray sample sort.  Default ON under the "
+                        "flagship preset")
+    p.add_argument("--no_occ_stratified", dest="occ_stratified",
+                   action="store_false",
+                   help="force iid inverse-CDF placement (overrides the "
+                        "flagship preset's default-on stratification)")
     p.add_argument("--normalization", type=str, default="diagonal",
                    choices=["diagonal", "unit_box"],
                    help="scene->hash normalisation: reference 'diagonal' "
@@ -263,8 +271,13 @@ def resolve_preset(args):
         variant=variant,
         num_levels=(args.num_levels if args.num_levels is not None
                     else (8 if flagship else 16)),
+        # rank 21 is the pad-free sweet spot: 6 CP levels x 21 = 126
+        # output columns pad to the same 128-lane tiles as rank 16, so
+        # r21 runs at r16's rate (+31% capacity free) and holds 33.43 dB
+        # mean 4-pose textured holdout at 2.3x r32's rate
+        # (qm_r3_textured6.json — the round-3 batch-I decision)
         cp_rank=(args.cp_rank if args.cp_rank is not None
-                 else (32 if flagship else 16)),
+                 else (21 if flagship else 16)),
         dense_levels=(args.dense_levels if args.dense_levels is not None
                       else (-1 if flagship else 0)),
         num_samples=(args.num_samples if args.num_samples is not None
@@ -289,6 +302,12 @@ def resolve_preset(args):
                       else (args.occ_warmup + 64 if flagship else 0)),
     )
     out["occ_guided"] = (args.occ_guided or flagship) and out["occupancy"]
+    # stratified inverse-CDF placement: lower-variance, makes mass-dt's
+    # 1/K assumption structural, and skips the per-ray sort — +1.5 dB
+    # AND +10% rate on the textured gate (qm_r3_textured4.json)
+    out["occ_stratified"] = (args.occ_stratified
+                             if args.occ_stratified is not None
+                             else flagship)
     if not out["occupancy"]:
         out["compact"] = args.compact or 0
     return out
@@ -330,7 +349,7 @@ def make_config(args):
             compact_samples=r["compact"], occ_guided=r["occ_guided"],
             occ_probes=r["occ_probes"], occ_explore=args.occ_explore,
             occ_probe_jitter=args.occ_probe_jitter, occ_dt=args.occ_dt,
-            occ_stratified=args.occ_stratified,
+            occ_stratified=r["occ_stratified"],
             occ_threshold=args.occ_threshold,
             eval_guided=args.eval_guided,
             normalization=args.normalization),

@@ -12,7 +12,9 @@ def _cfg(argv):
 def test_bare_run_is_cp_flagship():
     cfg = _cfg([])
     assert cfg.hash.variant == "cp"
-    assert cfg.hash.cp_rank == 32
+    # rank 21 = the pad-free point: r16's FLOPs, 33.43 dB mean 4-pose
+    # textured holdout at 2.3x r32's rate (qm_r3_textured6.json)
+    assert cfg.hash.cp_rank == 21
     assert cfg.hash.num_levels == 8
     assert cfg.hash.dense_levels > 0          # auto-selected
     assert cfg.render.num_samples == 128
@@ -20,9 +22,20 @@ def test_bare_run_is_cp_flagship():
     assert cfg.render.compact_samples == 48
     assert cfg.render.occ_probes == 64
     assert cfg.render.occ_dt == "mass"
+    # stratified placement: +1.5 dB and +10% rate (qm_r3_textured4.json)
+    assert cfg.render.occ_stratified
     # factor-line TV: the off-orbit generalisation fix (+6.9 dB on the
     # 4-pose holdout mean, qm_r3_textured2.json)
     assert cfg.train.cp_tv_weight == 1e-2
+    # ... gated until culling locks on (qm_r3_humanoid3/4.json)
+    assert cfg.train.cp_tv_warmup > 0
+
+
+def test_no_occ_stratified_override():
+    cfg = _cfg(["--no_occ_stratified"])
+    assert not cfg.render.occ_stratified
+    cfg = _cfg(["--preset", "reference", "--occ_stratified"])
+    assert cfg.render.occ_stratified
 
 
 def test_cp_tv_explicit_zero_disables():

@@ -27,11 +27,15 @@ The backward pass is a second accumulation kernel (dM_d = W_d^T dT_d,
 W rebuilt, contraction over the point tile); positions get no gradient
 (the XLA path stop_gradients the fractions — ops/lowrank.py:168).
 
-Per-level line segments are padded to 128-lane multiples so every
-scratch slice is lane-aligned; the padded rows of M are zero, so stray
-hat support in the padding contributes nothing.  The per-axis
-coordinates are three separate (B, L) inputs because Mosaic requires a
-block's trailing dims to be 128-divisible or whole.
+Per-level line segments are tight-packed at 8-row (sublane) alignment
+with only the total padded to 128 ("tight" layout — the W tile is
+built per aligned 128-column block as the SUM of the covering levels'
+hats, which is exact because a level's hat rows are zero outside its
+own segment); the original per-segment 128 alignment ("padded") is
+kept for A/B.  Padded rows of M are zero, so stray hat support in the
+padding contributes nothing.  The per-axis coordinates are three
+separate (B, L) inputs because Mosaic requires a block's trailing dims
+to be 128-divisible or whole.
 
 Capability parity: this is an implementation detail of the CP encoder
 (see ops/lowrank.py for the capability citation); numerics match the
@@ -66,31 +70,93 @@ def padded_layout(sizes):
     return [int(o) for o in offs[:-1]], padded, int(offs[-1])
 
 
+def tight_layout(sizes):
+    """Tight-packed layout: per-level rows 8-aligned (Mosaic sublane
+    granularity) and only the TOTAL padded to a 128 multiple.
+
+    The flagship ladder's line sizes are 2^k + 2 (floor(scale) + 2
+    corners), so per-level 128-alignment pays ~126 dead rows per level:
+    the padded_layout executes 4736 rows where the exact work is 4044.
+    Tight packing cuts the kernel's executed width to 4096 — a 13.5%
+    cut in BOTH the MXU matmul FLOPs and the VPU hat-rebuild work —
+    with identical semantics: a level's hat rows are exactly zero
+    outside its own [off, off+G) range (|g_local - x_eff| >= 1 at
+    g_local = -1 and g_local = G because x_eff is clipped to
+    [0, G-2] + frac), so neighbouring segments never contaminate each
+    other and the extra zero rows contribute nothing to the matmul
+    (residual output diffs vs the padded layout are FMA-grouping-level
+    only — tests/test_cp_pallas.py).
+
+    Returns (offsets, aligned_sizes, total_padded_rows).
+    """
+    aligned = [_round_up(g, 8) for g in sizes]
+    offs = np.concatenate([[0], np.cumsum(aligned)]).astype(np.int32)
+    return [int(o) for o in offs[:-1]], aligned, _round_up(int(offs[-1]), 128)
+
+
+def get_layout(sizes, layout: str):
+    return tight_layout(sizes) if layout == "tight" else padded_layout(sizes)
+
+
+def _block_coverage(sizes, offs, total):
+    """Static map: for each 128-wide column block of the W scratch, the
+    (level, level_row_offset) pairs whose true [off, off+G) row range
+    intersects it.  With the padded layout every block is covered by
+    at most one level; with the tight layout boundary blocks carry two."""
+    cov = []
+    for b in range(total // 128):
+        lo, hi = b * 128, b * 128 + 128
+        cov.append(tuple((l, offs[l]) for l, g in enumerate(sizes)
+                         if offs[l] < hi and offs[l] + g > lo))
+    return tuple(cov)
+
+
 # ---------------------------------------------------------------- kernels
 
 
-def _build_w(w_ref, xl, padded, offs, bm):
-    """Fill the (bm, sum_G_pad) scratch with the two-hot rows of every
-    level from per-level effective coordinates ``xl[:, l]``."""
-    for l, (gp, off) in enumerate(zip(padded, offs)):
-        xc = xl[:, l:l + 1]                                     # (bm, 1)
-        # Mosaic's tpu.iota is integer-only; cast to f32 for the hat
-        iota = jax.lax.broadcasted_iota(jnp.int32, (bm, gp), 1
-                                        ).astype(jnp.float32)
-        hat = jnp.maximum(0.0, 1.0 - jnp.abs(iota - xc))        # (bm, gp)
-        w_ref[:, off:off + gp] = hat.astype(jnp.bfloat16)
+def _build_w(w_ref, xl, coverage, bm):
+    """Fill the (bm, total) scratch with the two-hot rows of every level
+    from per-level effective coordinates ``xl[:, l]``.
+
+    Per 128-wide aligned column block, sum the hat functions of the
+    levels covering it (the hat identity w = max(0, 1 - |g - x_eff|)
+    reproduces the two-hot lerp row exactly and is exactly zero outside
+    the level's own row range, so the sum never mixes levels).  One
+    (bm, 128) f32 iota is built once and reused by every block — the
+    per-segment iota+cast of the first kernel version was ~2 of the
+    ~7 VPU passes per element of this (build-bound) kernel."""
+    # Mosaic's tpu.iota is integer-only; cast to f32 for the hat
+    iota = jax.lax.broadcasted_iota(jnp.int32, (bm, 128), 1
+                                    ).astype(jnp.float32)
+    for b, cov in enumerate(coverage):
+        acc = None
+        for l, off in cov:
+            # hat centre in block-local coordinates
+            xc = xl[:, l:l + 1] - float(b * 128 - off)          # (bm, 1)
+            hat = jnp.maximum(0.0, 1.0 - jnp.abs(iota - xc))    # (bm, 128)
+            acc = hat if acc is None else acc + hat
+        if acc is None:                      # tail block past every level
+            acc = jnp.zeros((bm, 128), jnp.float32)
+        w_ref[:, b * 128:(b + 1) * 128] = acc.astype(jnp.bfloat16)
 
 
-def _fwd_kernel(xa_ref, xb_ref, xc_ref, mat_ref, out_ref, w_ref, *,
-                padded, offs, bm):
+def _fwd_kernel(xa_ref, xb_ref, xc_ref, mat_ref, out_ref, *w_refs,
+                coverage, bm):
+    """Single-sweep forward.  With TWO W scratches (``len(w_refs)==2``)
+    consecutive axes alternate buffers, so axis d+1's VPU hat build has
+    no data dependency on axis d's MXU matmul and the scheduler is free
+    to overlap them — the build is the co-dominant cost of this kernel
+    (~5 VPU passes per element vs a 2*C_pad/128-FLOP-per-element matmul)."""
+    nw = len(w_refs)
     for d, x_ref in enumerate((xa_ref, xb_ref, xc_ref)):
-        _build_w(w_ref, x_ref[:], padded, offs, bm)
+        w_ref = w_refs[d % nw]
+        _build_w(w_ref, x_ref[:], coverage, bm)
         out_ref[d] = jnp.dot(w_ref[:], mat_ref[d],
                              preferred_element_type=jnp.float32)
 
 
 def _fwd_kernel_axis(xa_ref, xb_ref, xc_ref, mat_ref, out_ref, w_ref, *,
-                     padded, offs, bm):
+                     coverage, bm):
     """Per-axis forward (grid (3, nb)): only ONE axis' factor block is
     VMEM-resident — the all-axes mat block (3, total, C_pad) bf16 alone
     is 10.9 MB at rank 48 and the whole stack measures 18.18 MB, over
@@ -99,13 +165,13 @@ def _fwd_kernel_axis(xa_ref, xb_ref, xc_ref, mat_ref, out_ref, w_ref, *,
     for dd, x_ref in enumerate((xa_ref, xb_ref, xc_ref)):
         @pl.when(d == dd)
         def _():
-            _build_w(w_ref, x_ref[:], padded, offs, bm)
+            _build_w(w_ref, x_ref[:], coverage, bm)
     out_ref[0] = jnp.dot(w_ref[:], mat_ref[0],
                          preferred_element_type=jnp.float32)
 
 
 def _bwd_kernel(xa_ref, xb_ref, xc_ref, dt_ref, dm_ref, w_ref, *,
-                padded, offs, bm, i_axis=1):
+                coverage, bm, i_axis=1):
     """Grid (3, nb) — or (3, n_cb, nb) when the dM accumulator block is
     split over column tiles (``i_axis=2``): one axis at a time keeps the
     block a third of the all-axes version, and the column split bounds
@@ -116,7 +182,7 @@ def _bwd_kernel(xa_ref, xb_ref, xc_ref, dt_ref, dm_ref, w_ref, *,
     for dd, x_ref in enumerate((xa_ref, xb_ref, xc_ref)):
         @pl.when(d == dd)
         def _():
-            _build_w(w_ref, x_ref[:], padded, offs, bm)
+            _build_w(w_ref, x_ref[:], coverage, bm)
 
     contrib = jax.lax.dot_general(
         w_ref[:], dt_ref[0].astype(jnp.bfloat16),
@@ -137,29 +203,36 @@ def _bwd_kernel(xa_ref, xb_ref, xc_ref, dt_ref, dm_ref, w_ref, *,
 
 @functools.lru_cache(maxsize=32)
 def _pallas_calls(sizes, b_pad: int, c_pad: int, bm_f: int, bm_b: int,
-                  interpret: bool):
+                  interpret: bool, layout: str = "tight",
+                  fwd_db: bool = True):
     """Build the fwd/bwd pallas_call callables for one static layout.
 
     Forward and backward take separate point-tile sizes: on the v5e the
     forward is fastest at 256 and the backward (whose accumulator block
     is revisited, so bigger tiles amortise more) at 512
     (pallas_ab.json); b_pad must be a multiple of both.
+
+    ``layout``: "tight" (8-aligned segments, 13.5% fewer executed rows
+    at the flagship ladder — see tight_layout) or the original "padded"
+    (per-segment 128 alignment).  ``fwd_db``: double-buffer the forward
+    W scratch so consecutive axes' builds/matmuls can overlap.
     """
-    offs, padded, total = padded_layout(sizes)
+    offs, padded, total = get_layout(sizes, layout)
+    coverage = _block_coverage(sizes, offs, total)
     n_lvl = len(sizes)
     cost = pl.CostEstimate(
         flops=2 * 3 * b_pad * total * c_pad,
         bytes_accessed=3 * b_pad * (n_lvl * 4 + c_pad * 4),
         transcendentals=0)
 
-    # forward scoped-VMEM stack: all-axes mat block + W scratch + out
-    # block + the f32 hat/iota temporaries of the largest level (~2x).
+    # forward scoped-VMEM stack: all-axes mat block + W scratch(es) +
+    # out block + the f32 hat/iota temporaries of one 128-block (~2x).
     # Past ~15.5 MB (rank 48 measures 18.18 MB > the 16 MB limit) the
     # grid splits per axis so only one axis' factor block is resident;
     # rank <= 32 keeps the original single-sweep formulation.
-    gmax_pad = max(padded)
-    fwd_stack = (3 * total * c_pad * 2 + bm_f * total * 2
-                 + 3 * bm_f * c_pad * 4 + 2 * bm_f * gmax_pad * 4)
+    n_w = 2 if fwd_db else 1
+    fwd_stack = (3 * total * c_pad * 2 + n_w * bm_f * total * 2
+                 + 3 * bm_f * c_pad * 4 + 2 * bm_f * 128 * 4)
     if fwd_stack <= 15.5e6:
         x_spec = pl.BlockSpec((bm_f, n_lvl), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
@@ -168,13 +241,13 @@ def _pallas_calls(sizes, b_pad: int, c_pad: int, bm_f: int, bm_b: int,
         t_spec = pl.BlockSpec((3, bm_f, c_pad), lambda i: (0, i, 0),
                               memory_space=pltpu.VMEM)
         fwd = pl.pallas_call(
-            functools.partial(_fwd_kernel, padded=padded, offs=offs,
-                              bm=bm_f),
+            functools.partial(_fwd_kernel, coverage=coverage, bm=bm_f),
             grid=(b_pad // bm_f,),
             in_specs=[x_spec, x_spec, x_spec, mat_spec],
             out_specs=t_spec,
             out_shape=jax.ShapeDtypeStruct((3, b_pad, c_pad), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((bm_f, total), jnp.bfloat16)],
+            scratch_shapes=[pltpu.VMEM((bm_f, total), jnp.bfloat16)
+                            for _ in range(n_w)],
             interpret=interpret,
             cost_estimate=cost,
         )
@@ -186,7 +259,7 @@ def _pallas_calls(sizes, b_pad: int, c_pad: int, bm_f: int, bm_b: int,
         t_spec = pl.BlockSpec((1, bm_f, c_pad), lambda d, i: (d, i, 0),
                               memory_space=pltpu.VMEM)
         fwd = pl.pallas_call(
-            functools.partial(_fwd_kernel_axis, padded=padded, offs=offs,
+            functools.partial(_fwd_kernel_axis, coverage=coverage,
                               bm=bm_f),
             grid=(3, b_pad // bm_f),
             in_specs=[x_spec, x_spec, x_spec, mat_spec],
@@ -240,7 +313,7 @@ def _pallas_calls(sizes, b_pad: int, c_pad: int, bm_f: int, bm_b: int,
         i_axis = 2
 
     bwd = pl.pallas_call(
-        functools.partial(_bwd_kernel, padded=padded, offs=offs, bm=bm_b,
+        functools.partial(_bwd_kernel, coverage=coverage, bm=bm_b,
                           i_axis=i_axis),
         grid=grid,
         in_specs=[x_spec_b, x_spec_b, x_spec_b, dt_spec],
@@ -253,8 +326,9 @@ def _pallas_calls(sizes, b_pad: int, c_pad: int, bm_f: int, bm_b: int,
     return fwd, bwd
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _cp_matmul(xa, xb, xc, mats, sizes, bm_f, bm_b, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _cp_matmul(xa, xb, xc, mats, sizes, bm_f, bm_b, interpret, layout,
+               fwd_db):
     """T[d] = W(x_d) @ mats[d] for the three axes.
 
     xa/xb/xc: (B_pad, L) f32 per-level effective coordinates per axis.
@@ -262,19 +336,21 @@ def _cp_matmul(xa, xb, xc, mats, sizes, bm_f, bm_b, interpret):
     Returns (3, B_pad, C_pad) f32.
     """
     fwd, _ = _pallas_calls(sizes, xa.shape[0], mats.shape[-1], bm_f, bm_b,
-                           interpret)
+                           interpret, layout, fwd_db)
     return fwd(xa, xb, xc, mats)
 
 
-def _cp_matmul_fwd(xa, xb, xc, mats, sizes, bm_f, bm_b, interpret):
-    t = _cp_matmul(xa, xb, xc, mats, sizes, bm_f, bm_b, interpret)
+def _cp_matmul_fwd(xa, xb, xc, mats, sizes, bm_f, bm_b, interpret, layout,
+                   fwd_db):
+    t = _cp_matmul(xa, xb, xc, mats, sizes, bm_f, bm_b, interpret, layout,
+                   fwd_db)
     return t, (xa, xb, xc, mats.shape[-1])
 
 
-def _cp_matmul_bwd(sizes, bm_f, bm_b, interpret, res, dt):
+def _cp_matmul_bwd(sizes, bm_f, bm_b, interpret, layout, fwd_db, res, dt):
     xa, xb, xc, c_pad = res
     _, bwd = _pallas_calls(sizes, xa.shape[0], c_pad, bm_f, bm_b,
-                           interpret)
+                           interpret, layout, fwd_db)
     dm = bwd(xa, xb, xc, dt)
     return (jnp.zeros_like(xa), jnp.zeros_like(xb), jnp.zeros_like(xc),
             dm.astype(jnp.bfloat16))
@@ -283,9 +359,10 @@ def _cp_matmul_bwd(sizes, bm_f, bm_b, interpret, res, dt):
 _cp_matmul.defvjp(_cp_matmul_fwd, _cp_matmul_bwd)
 
 
-def vmem_estimate_bytes(sizes, c_pad: int, bm: int) -> int:
+def vmem_estimate_bytes(sizes, c_pad: int, bm: int,
+                        layout: str = "tight") -> int:
     """Rough VMEM budget of one kernel step (scratch + resident blocks)."""
-    _, _, total = padded_layout(sizes)
+    _, _, total = get_layout(sizes, layout)
     w = bm * total * 2
     mat = 3 * total * c_pad * 2
     dm = 3 * total * c_pad * 4
@@ -295,7 +372,8 @@ def vmem_estimate_bytes(sizes, c_pad: int, bm: int) -> int:
 
 def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
                      block: int = 0, block_bwd: int = 0,
-                     chunk: int = 0, interpret: bool = False):
+                     chunk: int = 0, interpret: bool = False,
+                     layout: str = None, fwd_db: bool = None):
     """Drop-in replacement for :func:`ops.lowrank.cp_encode` running the
     two-hot matmuls as Pallas kernels (see module docstring).
 
@@ -321,11 +399,15 @@ def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
     # off-TPU there is no Mosaic backend: run the kernel interpreted
     # (tests exercise the exact kernel logic this way)
     interpret = interpret or jax.default_backend() != "tpu"
+    if layout is None:
+        layout = getattr(cfg, "cp_layout", "tight")
+    if fwd_db is None:
+        fwd_db = getattr(cfg, "cp_fwd_db", True)
     n_lvl = len(lines)
     assert n_lvl == cfg.num_levels - cfg.dense_levels
     rank = lines[0].shape[-1]
     sizes = tuple(lowrank.cp_line_sizes(cfg))
-    offs, _padded, total = padded_layout(sizes)
+    offs, _padded, total = get_layout(sizes, layout)
     c = n_lvl * rank
     c_pad = _round_up(c, 128)
     scales = np.asarray(level_scales(cfg)[cfg.dense_levels:], np.float32)
@@ -361,7 +443,8 @@ def cp_encode_pallas(lines, x, mu, sigma, cfg: HashConfig,
 
     def encode_chunk(xc, mats):
         t = _cp_matmul(xc[:, 0, :], xc[:, 1, :], xc[:, 2, :], mats,
-                       sizes, bm_f, bm_b, interpret)           # (3,Np,Cp)
+                       sizes, bm_f, bm_b, interpret, layout,
+                       fwd_db)                                 # (3,Np,Cp)
         return t[0] * t[1] * t[2]
 
     n_pad = xe.shape[0]

@@ -129,6 +129,21 @@ class HashConfig:
     # Explicit "pallas" opts into bf16 kernel numerics regardless of
     # dense_bf16.
     cp_impl: str = "auto"
+    # Pallas kernel W-scratch row layout (cp_impl="pallas"/"auto"):
+    #   "tight":  per-level segments 8-aligned, only the total padded to
+    #             128 — 13.5% fewer executed rows at the flagship ladder
+    #             (the 2^k+2 line sizes each waste ~126 rows under
+    #             per-segment 128 alignment).  Semantics-identical:
+    #             hat rows are exactly zero outside their own segment
+    #             (residual diffs are FMA-grouping-level only,
+    #             tests/test_cp_pallas.py).
+    #   "padded": the original per-segment 128 alignment.
+    cp_layout: str = "tight"
+    # Double-buffer the forward W scratch so consecutive axes' VPU hat
+    # builds can overlap the previous axis' MXU matmul (the build is the
+    # co-dominant kernel cost).  Costs one extra (block, total) bf16
+    # scratch of VMEM.
+    cp_fwd_db: bool = True
     # Level-parallel (tensor-parallel) encoding: name of the mesh axis
     # that shards the hash table's LEVEL dimension.  Set only inside
     # shard_map bodies (parallel/level_parallel.py builds it for you) —

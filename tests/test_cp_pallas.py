@@ -169,3 +169,64 @@ def test_block_padding_invariance():
     a = cp_pallas.cp_encode_pallas(lines, x, mu, sigma, cfg, block=128)
     b = cp_pallas.cp_encode_pallas(lines, x, mu, sigma, cfg, block=512)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_tight_layout_packing():
+    # 2^k+2 sizes (the flagship ladder): 8-aligned tight rows, total
+    # padded to 128 — 4736 -> 4096 executed rows at the real ladder
+    offs, aligned, total = cp_pallas.tight_layout([66, 130, 258])
+    assert aligned == [72, 136, 264]
+    assert offs == [0, 72, 208]
+    assert total == 512          # 472 -> 512
+    offs, _, total = cp_pallas.tight_layout([66, 130, 258, 514, 1026, 2050])
+    assert total == 4096         # vs padded_layout's 4736
+
+
+def test_block_coverage():
+    sizes = [66, 130]
+    offs, _, total = cp_pallas.tight_layout(sizes)      # offs [0, 72]
+    cov = cp_pallas._block_coverage(sizes, offs, total)
+    assert len(cov) == total // 128
+    # block 0 ([0,128)): level 0 rows [0,66) and level 1 rows [72,202)
+    assert cov[0] == ((0, 0), (1, 72))
+    # block 1 ([128,256)): only level 1
+    assert cov[1] == ((1, 72),)
+
+
+@pytest.mark.parametrize("fwd_db", [False, True])
+def test_tight_layout_bit_identical_to_padded(fwd_db):
+    """Tight packing must be semantics-preserving: a level's hat rows
+    are zero outside its own segment, so only the dot's FMA grouping
+    (which K-block the two nonzero terms of a two-hot row land in) can
+    differ — tolerance at the f32-epsilon scale of the ~1e-3 outputs,
+    1000x tighter than the bf16 tolerance vs the XLA path."""
+    cfg = cfg_cp()
+    lines, x, mu, sigma = make_inputs(cfg, n=513)
+    a = cp_pallas.cp_encode_pallas(lines, x, mu, sigma, cfg, block=256,
+                                   layout="padded", fwd_db=fwd_db)
+    b = cp_pallas.cp_encode_pallas(lines, x, mu, sigma, cfg, block=256,
+                                   layout="tight", fwd_db=fwd_db)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                               rtol=0)
+
+
+def test_tight_layout_gradient_matches_padded():
+    cfg = cfg_cp()
+    lines, x, mu, sigma = make_inputs(cfg, n=384)
+
+    def loss(lines, layout):
+        out = cp_pallas.cp_encode_pallas(lines, x, mu, sigma, cfg,
+                                         block=128, layout=layout)
+        return jnp.sum(out * out)
+
+    ga = jax.grad(lambda l: loss(l, "padded"))(lines)
+    gb = jax.grad(lambda l: loss(l, "tight"))(lines)
+    # dM is emitted in bf16 (_cp_matmul_bwd): an f32 accumulation that
+    # lands near a bf16 rounding boundary can flip one ulp when the FMA
+    # grouping changes with the layout width — tolerance one bf16 ulp
+    # of the max-magnitude entry
+    for a, b in zip(ga, gb):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=2e-3,
+                                   rtol=0)

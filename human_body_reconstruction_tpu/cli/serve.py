@@ -30,6 +30,12 @@ Request fields (all optional unless marked):
                   image_b64 (base64 PNG)
   no_image        true -> timing probe, response carries no image
   id              opaque, echoed back
+  batch           true -> prerender a POSE BATCH in one fused dispatch
+                  (amortises the ~35 ms/dispatch tunnel floor over the
+                  whole batch): poses from "c2ws" [[4x4], ...] or every
+                  pose of "orbit" {count, radius, elevation}; output to
+                  "out_dir" (frame_%04d.png) or "images_b64" list.
+                  Always uses the fused render path.
   cmd             "health" -> stats, "quit" -> shut the server down
 
 Response: {"ok": true, "id":..., "wall_s":..., "rays_per_sec":...,
@@ -171,6 +177,86 @@ class RenderServer:
         raise ValueError("request needs 'c2w' (4x4) or 'orbit' "
                          "{index, count, ...}")
 
+    def _poses_from(self, req):
+        """Batch request -> (P, 4, 4) pose stack: either an explicit
+        'c2ws' list or an 'orbit' whose EVERY pose is rendered."""
+        import numpy as np
+
+        if "c2ws" in req:
+            poses = np.asarray(req["c2ws"], np.float32)
+            if poses.ndim != 3 or poses.shape[1:] != (4, 4):
+                raise ValueError(f"c2ws must be (P, 4, 4), got {poses.shape}")
+            return poses
+        if "orbit" in req:
+            from human_body_reconstruction_tpu.data import synthetic
+
+            o = dict(req["orbit"])
+            return np.asarray(synthetic.orbit_poses(
+                int(o.get("count", 12)),
+                radius=float(o.get("radius", 4.0)),
+                elevation=float(o.get("elevation", 0.5))), np.float32)
+        raise ValueError("batch request needs 'c2ws' [(4x4), ...] or "
+                         "'orbit' {count, ...}")
+
+    def render_batch(self, req: dict) -> dict:
+        """Prerender a pose batch (turntable orbit / pose stack) in ONE
+        fused dispatch — through the remote tunnel a dispatch + sync
+        costs ~35 ms, so an N-frame orbit as N single-frame requests
+        pays N floors; this endpoint pays one (train/step.py
+        render_poses_fused).  Request: {"batch": true, "orbit": {...} |
+        "c2ws": [...], "out_dir": ... | nothing -> images_b64 list}."""
+        import numpy as np
+        import jax.numpy as jnp
+        from PIL import Image
+
+        a = self.args
+        poses = self._poses_from(req)
+        H = int(req.get("height", a.height))
+        W = int(req.get("width", a.width))
+        cax = float(req.get("camera_angle_x", a.camera_angle_x))
+        S = int(req.get("num_samples", a.num_samples))
+        guided = int(req.get("eval_guided", a.eval_guided))
+        focal = W / (2.0 * np.tan(cax / 2.0))
+        K = jnp.asarray([[focal, 0, W / 2.0], [0, focal, H / 2.0],
+                         [0, 0, 1]], jnp.float32)
+        t0 = time.perf_counter()
+        imgs = np.asarray(self.step_lib.render_poses_fused(
+            self.params, self.scene, H, W, K, jnp.asarray(poses),
+            self._cfg_for(guided), occ=self.occ, num_samples=S,
+            chunk=min(a.chunk, poses.shape[0] * H * W),
+            bf16=not a.fp32))
+        wall = time.perf_counter() - t0
+        P = poses.shape[0]
+        self.n_served += P
+        self.rays_served += P * H * W
+        self.render_s += wall
+        resp = {"ok": True, "H": H, "W": W, "frames": P,
+                "num_samples": S, "eval_guided": guided,
+                "wall_s": round(wall, 3),
+                "rays_per_sec": round(P * H * W / max(wall, 1e-9), 1)}
+        if "id" in req:
+            resp["id"] = req["id"]
+        if req.get("no_image"):
+            return resp
+        arr8 = (np.clip(imgs, 0, 1) * 255).astype(np.uint8)
+        if req.get("out_dir"):
+            out_dir = str(req["out_dir"])
+            os.makedirs(out_dir, exist_ok=True)
+            paths = []
+            for i in range(P):
+                path = os.path.join(out_dir, f"frame_{i:04d}.png")
+                Image.fromarray(arr8[i]).save(path)
+                paths.append(path)
+            resp["paths"] = paths
+        else:
+            b64 = []
+            for i in range(P):
+                buf = io.BytesIO()
+                Image.fromarray(arr8[i]).save(buf, format="PNG")
+                b64.append(base64.b64encode(buf.getvalue()).decode())
+            resp["images_b64"] = b64
+        return resp
+
     def render(self, req: dict) -> dict:
         import numpy as np
         import jax.numpy as jnp
@@ -240,6 +326,8 @@ class RenderServer:
                 return self.health()
             if cmd == "quit":
                 return {"ok": True, "bye": True}
+            if req.get("batch"):
+                return self.render_batch(req)
             return self.render(req)
         except Exception as e:  # noqa: BLE001 — server must stay up
             r = {"ok": False, "error": f"{type(e).__name__}: {e}"}

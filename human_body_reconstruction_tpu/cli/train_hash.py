@@ -130,6 +130,14 @@ def build_parser():
                    choices=["bf16", "int8"],
                    help="with --packed: bf16 pairs (F=2) or dynamically "
                         "quantised int8 (up to 4 features per lookup)")
+    p.add_argument("--packed_exact", action="store_true",
+                   help="train the EXACT (non-stochastic) trilerp "
+                        "through packed word reads — exact 8-corner "
+                        "interpolation + exact scatter backward over "
+                        "bf16/int8-rounded features (the reference's "
+                        "fp16-autocast analog; the fastest exact-"
+                        "semantics trainable mode, bench 'exact_packed'"
+                        "); implies --packed")
     p.add_argument("--num_levels", type=int, default=None,
                    help="resolution levels L (reference hard-codes 16, "
                         "train_hash2.py:46; flagship CP uses 8)")
@@ -244,8 +252,10 @@ def build_parser():
     p.add_argument("--synthetic", action="store_true",
                    help="procedural demo scene instead of a dataset dir")
     p.add_argument("--synthetic_subject", type=str, default="blobs",
-                   choices=["blobs", "human", "textured"],
-                   help="procedural subject for --synthetic")
+                   choices=["blobs", "human", "textured", "tangle"],
+                   help="procedural subject for --synthetic ('tangle' "
+                        "is the seed-randomized held-back family; "
+                        "geometry/texture derive from --seed)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -261,7 +271,7 @@ def resolve_preset(args):
     """
     hash_flags = (args.stochastic or args.packed or args.grad_subsample
                   or args.grad_level_subsample or args.grad_level_pair
-                  or args.hw_rng)
+                  or args.hw_rng or args.packed_exact)
     variant = args.encoder_variant
     if variant is None:
         variant = ("cp" if args.preset == "flagship" and not hash_flags
@@ -324,7 +334,8 @@ def make_config(args):
                         variant=r["variant"],
                         cp_rank=r["cp_rank"],
                         stochastic_train=args.stochastic,
-                        packed=args.packed,
+                        packed=args.packed or args.packed_exact,
+                        packed_exact_train=args.packed_exact,
                         pack_format=args.pack_format,
                         grad_subsample=args.grad_subsample,
                         grad_level_subsample=args.grad_level_subsample,
@@ -377,6 +388,18 @@ def load_dataset(args):
             return synthetic.make_dataset(
                 n_views=20, H=400, W=400, focal=440.0, near=args.near,
                 far=args.far, field=synthetic.textured_field,
+                radius=4.0, elevation=0.35, gt_samples=384), None
+        if args.synthetic_subject == "tangle":
+            # HELD-BACK randomized family (synthetic.tangle_field):
+            # same hard regime as 'textured' (thin capsules, ~6-13 px
+            # texture), geometry/texture drawn from --seed — eval seeds
+            # >= 100 are reserved for the once-per-round heldback check
+            import functools as _ft
+
+            return synthetic.make_dataset(
+                n_views=20, H=400, W=400, focal=440.0, near=args.near,
+                far=args.far,
+                field=_ft.partial(synthetic.tangle_field, seed=args.seed),
                 radius=4.0, elevation=0.35, gt_samples=384), None
         if args.synthetic_subject == "human":
             # closer orbit + longer focal so the 1.6-unit figure fills

@@ -676,11 +676,17 @@ def encode(table, x, mu, sigma, cfg: HashConfig, key=None,
             return hash_encode_stochastic_packed(table, x, mu, sigma, cfg,
                                                  key, scales)
         return hash_encode_stochastic(table, x, mu, sigma, cfg, key, scales)
-    if (cfg.packed and cfg.packed_eval and cfg.stochastic_train
-            and (cfg.pack_format == "int8" or cfg.features_per_level == 2)):
-        # eval-only by construction (training goes through the
-        # stochastic custom-VJP paths above); packed_exact's VJP exists
-        # only for the rare differentiated-eval case (SDF finite diffs)
+    if (cfg.packed and (cfg.pack_format == "int8"
+                        or cfg.features_per_level == 2)
+            and ((cfg.packed_eval and cfg.stochastic_train)
+                 or cfg.packed_exact_train)):
+        # packed word reads for the exact 8-corner trilerp: with
+        # stochastic_train this is the eval read (training goes through
+        # the stochastic custom-VJP paths above, packed_eval); with
+        # packed_exact_train it IS the training forward — exact
+        # interpolation over bf16/int8-rounded features with the exact
+        # per-corner scatter VJP (the fastest exact-semantics trainable
+        # mode; see config.HashConfig.packed_exact_train)
         return hash_encode_packed_exact(table, x, mu, sigma, cfg, scales)
     return hash_encode(table, x, mu, sigma, cfg, scales)
 

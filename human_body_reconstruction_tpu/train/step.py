@@ -219,6 +219,52 @@ def render_image_fused(params, scene, H: int, W: int, K, c2w,
     return img.reshape(-1, 3)[:total].reshape(H, W, 3)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "H", "W", "num_samples",
+                                    "hierarchical", "chunk", "bf16"))
+def render_poses_fused(params, scene, H: int, W: int, K, c2ws,
+                       cfg: PipelineConfig, occ=None,
+                       num_samples: int = 256, hierarchical: bool = False,
+                       chunk: int = 16384, key=None, bf16: bool = False):
+    """Render a STACK of poses (P, 4, 4) in ONE dispatch.
+
+    The batch/orbit serving endpoint (cli/serve.py): through the remote
+    tunnel every dispatch + sync costs ~35 ms, so prerendering an
+    N-frame orbit as N :func:`render_image_fused` calls pays N floors;
+    here all P*H*W rays ride one ``lax.map`` over chunk blocks — one
+    dispatch, one D2H — and the floor amortises over the whole batch.
+    The chunk grid also tiles across pose boundaries, so partial-chunk
+    padding is paid once per BATCH, not once per frame.
+    Returns (P, H, W, 3) on device.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    P = c2ws.shape[0]
+    o, d, n = jax.vmap(
+        lambda c: rays_lib.full_image_rays(H, W, K, c))(c2ws)
+    o, d, n = (o.reshape(-1, 3), d.reshape(-1, 3), n.reshape(-1, 1))
+    total = P * H * W
+    pad = (-total) % chunk
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3))])
+        d = jnp.concatenate([d, jnp.ones((pad, 3))])
+        n = jnp.concatenate([n, jnp.ones((pad, 1))])
+    nb = (total + pad) // chunk
+
+    def body(blk):
+        ob, db, nb_ = blk
+        out = nerf.render_rays(
+            params, scene, ob, db, nb_, key, cfg,
+            num_samples=num_samples, hierarchical=hierarchical, occ=occ,
+            jitter=False, compute_dtype=jnp.bfloat16 if bf16 else None)
+        return out["fine"]
+
+    img = jax.lax.map(body, (o.reshape(nb, chunk, 3),
+                             d.reshape(nb, chunk, 3),
+                             n.reshape(nb, chunk, 1)))
+    return img.reshape(-1, 3)[:total].reshape(P, H, W, 3)
+
+
 def render_image(params, scene, H: int, W: int, K, c2w, cfg: PipelineConfig,
                  occ=None, num_samples: int = 256, hierarchical: bool = False,
                  chunk: int = 16384, key=None, render_fn=None):

@@ -99,6 +99,17 @@ class HashConfig:
     # F x faster eval renders and mesh sweeps.  Set False to read the
     # fp32 master table instead.
     packed_eval: bool = True
+    # TRAIN the exact (non-stochastic) trilerp through packed word
+    # reads: one lookup per (corner, level) instead of F, exact
+    # 8-corner interpolation, exact per-corner scatter backward
+    # (hash_encode_packed_exact + its custom VJP).  Features are
+    # bf16-rounded (F=2) / int8-quantised — the TPU analog of the
+    # reference's fp16-autocast training (train_hash2.py:192, 218).
+    # This is the fastest EXACT-SEMANTICS trainable mode; the fp32
+    # master-table path stays the correctness oracle (bench.py
+    # "exact_oracle").  Requires `packed`; independent of
+    # stochastic_train.
+    packed_exact_train: bool = False
     # Backward scatter-add strategy for the packed training paths:
     #   "random": plain .at[].add — every contribution pays the ~4KB
     #     random-write tile (measured ~77M contribs/s on v5e),
@@ -183,6 +194,10 @@ class HashConfig:
                 raise ValueError(
                     "grad_level_pair needs an even number of hashed "
                     f"levels, got {self.num_hashed_levels}")
+        if self.packed_exact_train and not self.packed:
+            raise ValueError(
+                "packed_exact_train requires packed=True (it trains "
+                "through the packed word-read exact forward)")
         if self.scatter_strategy not in ("random", "sorted", "segsum"):
             raise ValueError(
                 f"unknown scatter_strategy {self.scatter_strategy!r}; "

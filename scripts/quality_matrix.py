@@ -28,7 +28,8 @@ import numpy as np
 
 
 SCENES = {"textured": "textured_field",
-          "humanoid": "textured_humanoid_field"}
+          "humanoid": "textured_humanoid_field",
+          "tangle": "tangle_field"}
 
 # Multi-pose holdout set (VERDICT r2 item 3): the legacy interior orbit
 # pose plus three poses OFF the training orbit (further out, closer in,
@@ -44,16 +45,23 @@ HOLDOUT_NAMES = ("interior", "exterior", "close_low", "top")
 
 
 def load_or_render_gt(H, W, views, focal_mult=1.1, radius=4.0,
-                      elevation=0.35, scene="textured"):
+                      elevation=0.35, scene="textured", seed=0):
     """(K, train_poses, hold_poses, train_imgs, hold_imgs) for the hard
     quality protocol; GT renders are cached in /tmp (shared by
-    quality_matrix and speedrun_30db)."""
+    quality_matrix and speedrun_30db).  ``seed`` parameterizes the
+    held-back 'tangle' family (geometry + texture are seed-derived;
+    heldback protocol: eval seeds >= 100, never used for tuning)."""
+    import functools
+
     import jax.numpy as jnp
     import numpy as np
 
     from human_body_reconstruction_tpu.data import synthetic
 
     field = getattr(synthetic, SCENES[scene])
+    if scene == "tangle":
+        field = functools.partial(field, seed=seed)
+        scene = f"tangle{seed}"
     focal = focal_mult * H
     K = jnp.asarray([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
                     jnp.float32)
@@ -361,6 +369,37 @@ def make_modes(C, dense_grid):
                                   occ_guided=True, occ_probes=64,
                                   occ_dt="mass", occ_stratified=True),
             train=C.TrainConfig(cp_tv_weight=1e-2, cp_tv_warmup=320)),
+        # SDF/eikonal mode on the flagship encoder (VERDICT r3 missing
+        # #1: the surface-reconstruction mode of a repo named
+        # Human-Body-Reconstruction had zero on-chip quality evidence;
+        # reference helper.py:80-89, test_hash.py:78-105,
+        # train_hash2.py:164-170).  2*sigmoid-1 density head, VarModel
+        # sharpness, eikonal 0.1; guided placement composes (the top-K
+        # compaction path is SDF-excluded but guided dt_override isn't)
+        "cp_r21_sdf_guided_k32_tv1e2_strat": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=21),
+            mlp=C.MLPConfig(density_activation="sdf"),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass", occ_stratified=True,
+                                  use_sdf=True),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
+        # SDF without culling/guidance — the fallback composition and
+        # the reference's literal configuration (no working occupancy)
+        "cp_r21_sdf_plain": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=21),
+            mlp=C.MLPConfig(density_activation="sdf"),
+            render=C.RenderConfig(**r, use_sdf=True),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
+        # hierarchical coarse+fine (the reference's headline sampling
+        # feature, vol_renderer.py:225-244; VERDICT r3 missing #2: CPU
+        # tests only) at equal wall-clock vs guided placement: 64
+        # coarse + 64 inverse-CDF fine, loss on both passes
+        "cp_r21_hier_64f64_tv1e2": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=21),
+            render=C.RenderConfig(near=2.0, far=6.0, num_samples=64,
+                                  hierarchical=True, num_fine_samples=64),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
         # rank 48 + the TV flagship regulariser: does more rank beat
         # the r32 flagship once the off-orbit fix is in?
         "cp_r48_guided_k48_tv1e2": C.PipelineConfig(
@@ -405,6 +444,12 @@ def main():
     ap.add_argument("--out", type=str, default="quality_matrix.json")
     ap.add_argument("--scene", type=str, default="textured",
                     choices=sorted(SCENES))
+    ap.add_argument("--scene_seed", type=int, default=0,
+                    help="seed for the held-back 'tangle' family "
+                         "(>= 100 reserved for one-shot heldback evals)")
+    ap.add_argument("--save_params", action="store_true",
+                    help="write qm_params_<mode>.npz after each mode "
+                         "(for SDF mesh export etc.)")
     args = ap.parse_args()
 
     from human_body_reconstruction_tpu.models import mlp as mlp_lib
@@ -418,7 +463,7 @@ def main():
 
     H = W = args.height
     K, train_poses, hold_poses, train_imgs, hold_imgs = load_or_render_gt(
-        H, W, args.views, scene=args.scene)
+        H, W, args.views, scene=args.scene, seed=args.scene_seed)
     train_imgs = jnp.asarray(train_imgs)
     train_poses = jnp.asarray(train_poses)
 
@@ -489,6 +534,9 @@ def _run_mode(name, cfg, args, results, scene, train_imgs, train_poses, K,
             "mlp": mlp_lib.init_mlp3d(k2, cfg.mlp, cfg.hash.out_dim,
                                       cfg.dir_enc.out_dim),
         }
+        if cfg.render.use_sdf:
+            # learnable sigmoid sharpness (reference helper.py:13-21)
+            params["var"] = mlp_lib.init_var_model()
         # occupancy engages only after warmup (quality_matrix round-2
         # finding: culling from a near-random field is self-reinforcing
         # — the truncated rays train fog, the grid never converges)
@@ -572,6 +620,12 @@ def _run_mode(name, cfg, args, results, scene, train_imgs, train_poses, K,
         if state.occ is not None:
             row["occ_frac"] = round(
                 float(occupancy.occupied_fraction(state.occ)), 4)
+        if getattr(args, "save_params", False):
+            from human_body_reconstruction_tpu.train import checkpoint
+
+            ckpt_path = f"qm_params_{name}.npz"
+            checkpoint.save_pytree(ckpt_path, state.params)
+            row["params_path"] = ckpt_path
         results[name] = row
         print(json.dumps(row), flush=True)
 

@@ -83,14 +83,18 @@ def main():
                   "mlp": mlp_lib.init_mlp3d(
                       jax.random.PRNGKey(1), cfg.mlp, cfg.hash.out_dim,
                       cfg.dir_enc.out_dim)}
+        # per-variant COPY of the occupancy grid: train_step_multi
+        # donates its state, so a shared grid would be deleted by the
+        # first variant's first call and break every later variant
+        occ_local = jax.tree.map(jnp.copy, occ_grid)
         if opt == "adam":
             state, tx = state_lib.create_train_state(params, cfg.train,
-                                                     1000, occ=occ_grid)
+                                                     1000, occ=occ_local)
         else:
             tx = optax.sgd(1e-3)
             state = state_lib.TrainState(
                 step=jnp.int32(0), params=params,
-                opt_state=tx.init(params), occ=occ_grid)
+                opt_state=tx.init(params), occ=occ_local)
 
         def run(state, cfg=cfg, tx=tx, scan=scan):
             return step_lib.train_step_multi(

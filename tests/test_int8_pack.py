@@ -353,3 +353,32 @@ def test_grad_level_pair_config_validation():
     # even hashed count after dense split is fine
     cfg_int8(num_levels=4, dense_levels=2, grad_subsample=True,
              grad_level_pair=True)
+
+
+def test_encode_dispatch_packed_exact_train():
+    """cfg.packed_exact_train routes the TRAINING (non-stochastic)
+    forward through the packed-word exact trilerp WITHOUT
+    stochastic_train — the fastest exact-semantics trainable mode
+    (bench.py 'exact_packed'); its custom VJP must train (nonzero
+    grads into touched rows) and the flag must demand `packed`."""
+    import dataclasses
+
+    import pytest
+
+    from human_body_reconstruction_tpu.utils.config import HashConfig
+
+    cfg = HashConfig(num_levels=4, features_per_level=2,
+                     log2_table_size=8, n_min=4, n_max=32,
+                     packed=True, packed_exact_train=True)
+    table = he.init_table(jax.random.PRNGKey(1), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (32, 3))
+    got = np.asarray(he.encode(table, x, 0.0, 1.0, cfg, stochastic=False))
+    want = np.asarray(he.hash_encode_packed_exact(table, x, 0.0, 1.0, cfg))
+    np.testing.assert_array_equal(got, want)
+
+    g = jax.grad(lambda t: jnp.sum(
+        he.encode(t, x, 0.0, 1.0, cfg, stochastic=False) ** 2))(table)
+    assert float(jnp.abs(g).max()) > 0.0
+
+    with pytest.raises(ValueError, match="packed_exact_train"):
+        HashConfig(num_levels=4, packed=False, packed_exact_train=True)

@@ -134,3 +134,47 @@ def test_serve_stdio_subprocess(tmp_path):
     assert os.path.getsize(tmp_path / "a.png") > 100
     assert bad["ok"] is False and "bad json" in bad["error"]
     assert bye["ok"] and bye["bye"]
+
+
+def test_serve_batch_orbit_prerender(server, tmp_path):
+    """'batch' prerenders every orbit pose in ONE fused dispatch
+    (render_poses_fused) and writes/returns all frames."""
+    out_dir = str(tmp_path / "frames")
+    r = server.handle({"batch": True, "orbit": {"count": 3},
+                       "height": 16, "width": 16, "num_samples": 8,
+                       "out_dir": out_dir, "id": "orb"})
+    assert r["ok"], r
+    assert r["frames"] == 3 and r["id"] == "orb"
+    assert len(r["paths"]) == 3
+    for p in r["paths"]:
+        assert os.path.getsize(p) > 100
+    # frames must differ (different poses actually rendered)
+    from PIL import Image
+
+    a = np.asarray(Image.open(r["paths"][0]), np.float32)
+    b = np.asarray(Image.open(r["paths"][1]), np.float32)
+    assert np.abs(a - b).max() > 0
+
+    # explicit pose-stack form, b64 payload, matches single-pose render
+    from human_body_reconstruction_tpu.data import synthetic
+
+    poses = np.asarray(synthetic.orbit_poses(3))
+    rb = server.handle({"batch": True, "c2ws": poses.tolist(),
+                        "height": 16, "width": 16, "num_samples": 8})
+    assert rb["ok"] and len(rb["images_b64"]) == 3
+    import base64 as b64mod
+    import io as iomod
+
+    one = server.handle({"c2w": poses[1].tolist(), "height": 16,
+                         "width": 16, "num_samples": 8})
+    img_batch = np.asarray(Image.open(iomod.BytesIO(
+        b64mod.b64decode(rb["images_b64"][1]))), np.float32)
+    img_one = np.asarray(Image.open(iomod.BytesIO(
+        b64mod.b64decode(one["image_b64"]))), np.float32)
+    # same field, same pose, both fused paths -> pixel-identical u8
+    np.testing.assert_allclose(img_batch, img_one, atol=1)
+
+
+def test_serve_batch_bad_request(server):
+    r = server.handle({"batch": True})
+    assert not r["ok"] and "c2ws" in r["error"]

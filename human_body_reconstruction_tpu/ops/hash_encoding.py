@@ -715,8 +715,17 @@ def encode_params(enc_params, x, mu, sigma, cfg: HashConfig, key=None,
             raise ValueError(
                 f"cfg.dense_levels={cfg.dense_levels} but encoder params "
                 "carry no 'dense' grids (init with init_encoder)")
-        parts.append(dense_grid.dense_encode(enc_params["dense"], x, mu,
-                                             sigma, cfg))
+        use_pallas = cfg.dense_impl == "pallas" or (
+            cfg.dense_impl == "auto" and cfg.dense_bf16
+            and jax.default_backend() == "tpu")
+        if use_pallas:
+            from human_body_reconstruction_tpu.ops import dense_pallas
+
+            parts.append(dense_pallas.dense_encode_pallas(
+                enc_params["dense"], x, mu, sigma, cfg))
+        else:
+            parts.append(dense_grid.dense_encode(enc_params["dense"], x, mu,
+                                                 sigma, cfg))
     if cfg.num_hashed_levels > 0:
         if cfg.variant == "cp":
             from human_body_reconstruction_tpu.ops import lowrank

@@ -72,6 +72,17 @@ class HashConfig:
     # bf16 matmul operands on the dense path (fp32 accumulation); fp32
     # operands are ~6x slower on the MXU and only needed for parity tests.
     dense_bf16: bool = True
+    # Dense-level implementation (mirrors cp_impl):
+    #   "xla":    ops/dense_grid.py lax.map + dot (materialises the
+    #             (block, G^2) pair-weight operand in HBM — measured
+    #             31.9 ms of a 169 ms flagship step, encode_micro_r4),
+    #   "pallas": ops/dense_pallas.py — every level fused in ONE kernel
+    #             sweep, pair weights rebuilt in VMEM, third axis folded
+    #             in-kernel; HBM traffic = points in + (N, D*F) out,
+    #   "auto":   pallas on TPU when dense_bf16=True, xla elsewhere
+    #             (the kernel computes in bf16 internally, same contract
+    #             as cp_impl="auto").
+    dense_impl: str = "auto"
     # Packed-gather word format (with `packed`):
     #   "bf16": F == 2 bf16 features per uint32 word,
     #   "int8": F features (2 or 4) as symmetric-int8 lanes of one word,

@@ -315,6 +315,24 @@ def main():
                                        occ_stratified=True),
             train=C.TrainConfig(ray_batch=32768,
                                 cp_tv_weight=1e-2)), 32768, 4, 8),
+        # K-budget cut at the flagship point: 24 guided samples save
+        # 35 ms/step and 32 occupancy probes save 7 ms
+        # (step_ablate_r4.json); headline candidacy is gated on the
+        # qm_r4_kprobe.json quality runs (>=33 dB textured holdout)
+        "cp_r21_guided_k24_scan8_strat": (C.PipelineConfig(
+            hash=dataclasses.replace(cp_hash, cp_rank=21),
+            render=dataclasses.replace(render_occ, occ_guided=True,
+                                       occ_probes=64, compact_samples=24,
+                                       occ_stratified=True),
+            train=C.TrainConfig(ray_batch=32768,
+                                cp_tv_weight=1e-2)), 32768, 4, 8),
+        "cp_r21_guided_k24_p32_scan8_strat": (C.PipelineConfig(
+            hash=dataclasses.replace(cp_hash, cp_rank=21),
+            render=dataclasses.replace(render_occ, occ_guided=True,
+                                       occ_probes=32, compact_samples=24,
+                                       occ_stratified=True),
+            train=C.TrainConfig(ray_batch=32768,
+                                cp_tv_weight=1e-2)), 32768, 4, 8),
     }
 
     if args.modes:

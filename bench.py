@@ -326,6 +326,18 @@ def main():
                                        occ_stratified=True),
             train=C.TrainConfig(ray_batch=32768,
                                 cp_tv_weight=1e-2)), 32768, 4, 8),
+        # probes-32 at the FULL K=32 budget: 33.58 dB mean 4-pose
+        # textured holdout (qm_r4_kprobe.json) — passes the >=33 dB
+        # headline gate that the K=24 cuts miss (32.94-32.96), while
+        # keeping the -7 ms/step probe saving; round-4 headline
+        # candidate and the new preset default (occ_probes=32)
+        "cp_r21_guided_k32_p32_scan8_strat": (C.PipelineConfig(
+            hash=dataclasses.replace(cp_hash, cp_rank=21),
+            render=dataclasses.replace(render_occ, occ_guided=True,
+                                       occ_probes=32, compact_samples=32,
+                                       occ_stratified=True),
+            train=C.TrainConfig(ray_batch=32768,
+                                cp_tv_weight=1e-2)), 32768, 4, 8),
         "cp_r21_guided_k24_p32_scan8_strat": (C.PipelineConfig(
             hash=dataclasses.replace(cp_hash, cp_rank=21),
             render=dataclasses.replace(render_occ, occ_guided=True,
@@ -368,7 +380,10 @@ def main():
                   "cp_guided_k32_scan8", "cp_r32_guided_k32_scan8",
                   "cp_r21_guided_k32_scan8",
                   "cp_r21_guided_k32_scan8_strat",
-                  "cp_r32_guided_k32_scan8_strat")
+                  "cp_r32_guided_k32_scan8_strat",
+                  # qm_r4_kprobe.json: 33.58 dB at p32/K=32 — quality
+                  # bar held, so the probe cut is headline-eligible
+                  "cp_r21_guided_k32_p32_scan8_strat")
     best = max((m for m in candidates if m in results), key=results.get)
     headline = results[best]
     print(json.dumps({

@@ -295,8 +295,12 @@ def resolve_preset(args):
         occupancy=(args.occupancy or flagship) and not args.no_occupancy,
         compact=(args.compact if args.compact is not None
                  else (48 if flagship else 0)),
+        # 32 probes match 64's quality (33.58 dB mean 4-pose textured
+        # holdout at p32/K=32, qm_r4_kprobe.json, vs the p64 record's
+        # 33.43) and save ~7 ms/step of tile-priced occupancy gathers
+        # (step_ablate_r4.json) — round-4 flip
         occ_probes=(args.occ_probes if args.occ_probes is not None
-                    else (64 if flagship else 0)),
+                    else (32 if flagship else 0)),
         # factor-line TV: the off-orbit generalisation fix for CP
         # (separable factor ripple in never-sampled space collapses
         # exterior/steep holdout poses by 7-13 dB without it —

@@ -245,17 +245,28 @@ def tangle_field(pts, seed: int = 0, n_capsules: int = 14,
 
 def render_gt_image(H: int, W: int, K, c2w, field=blob_field,
                     near: float = 2.0, far: float = 6.0,
-                    num_samples: int = 256):
-    """Ground-truth render of the analytic field (dense uniform sampling)."""
+                    num_samples: int = 256, chunk_rays: int = 16384):
+    """Ground-truth render of the analytic field (dense uniform sampling).
+
+    Chunked over rays: per-capsule fields materialise (N_pts, C, 3)
+    intermediates, and at the 400x400x384 quality-protocol shape the
+    unchunked tangle_field peaks >10 GB on chip (HBM ResourceExhausted,
+    round-4 heldback run).  16k rays x 384 samples keeps the peak ~1 GB.
+    """
     o, d, n = rays_lib.full_image_rays(H, W, K, jnp.asarray(c2w))
-    t = jnp.linspace(near, far, num_samples)
-    t = jnp.broadcast_to(t, (o.shape[0], num_samples))
-    pts = o[:, None, :] + d[:, None, :] * t[..., None]
-    rgb, sigma = field(pts.reshape(-1, 3))
-    rgb = rgb.reshape(o.shape[0], num_samples, 3)
-    sigma = sigma.reshape(o.shape[0], num_samples)
-    C, _, _ = compositing.composite(t, rgb, sigma, n)
-    return np.asarray(C).reshape(H, W, 3)
+    t_row = jnp.linspace(near, far, num_samples)
+    out = []
+    for s in range(0, o.shape[0], chunk_rays):
+        oc, dc = o[s:s + chunk_rays], d[s:s + chunk_rays]
+        nc = n[s:s + chunk_rays]
+        t = jnp.broadcast_to(t_row, (oc.shape[0], num_samples))
+        pts = oc[:, None, :] + dc[:, None, :] * t[..., None]
+        rgb, sigma = field(pts.reshape(-1, 3))
+        rgb = rgb.reshape(oc.shape[0], num_samples, 3)
+        sigma = sigma.reshape(oc.shape[0], num_samples)
+        C, _, _ = compositing.composite(t, rgb, sigma, nc)
+        out.append(np.asarray(C))
+    return np.concatenate(out, axis=0).reshape(H, W, 3)
 
 
 def make_dataset(n_views: int = 8, H: int = 48, W: int = 48,

@@ -412,12 +412,38 @@ def make_modes(C, dense_grid):
             mlp=C.MLPConfig(density_activation="sdf"),
             render=C.RenderConfig(**r, use_sdf=True),
             train=C.TrainConfig(cp_tv_weight=1e-2)),
+        # XLA-impl fallback for the SDF mode: the Pallas variant's HLO
+        # (render pass + 6-offset eikonal -> many Mosaic kernel
+        # instances) reproducibly kills the remote compile helper
+        # (qm_r4_sdf_*.json, 3 attempts each); this clone trades ~2x
+        # encode rate for a module the helper can compile, so the
+        # namesake surface-reconstruction mode gets on-chip quality
+        # evidence at all
+        "cp_r21_sdf_guided_xla": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=21, cp_impl="xla",
+                                     dense_impl="xla"),
+            mlp=C.MLPConfig(density_activation="sdf"),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass", occ_stratified=True,
+                                  use_sdf=True),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
         # hierarchical coarse+fine (the reference's headline sampling
         # feature, vol_renderer.py:225-244; VERDICT r3 missing #2: CPU
         # tests only) at equal wall-clock vs guided placement: 64
         # coarse + 64 inverse-CDF fine, loss on both passes
         "cp_r21_hier_64f64_tv1e2": C.PipelineConfig(
             hash=dataclasses.replace(cp16, cp_rank=21),
+            render=C.RenderConfig(near=2.0, far=6.0, num_samples=64,
+                                  hierarchical=True, num_fine_samples=64),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
+        # XLA-impl fallback for hierarchical: two render passes = two
+        # Pallas encoder instances + backwards, the same helper-killing
+        # module shape as SDF (qm_r4_hier.json failed 3/3 while the
+        # single-instance kprobe modes compiled minutes later)
+        "cp_r21_hier_xla": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=21, cp_impl="xla",
+                                     dense_impl="xla"),
             render=C.RenderConfig(near=2.0, far=6.0, num_samples=64,
                                   hierarchical=True, num_fine_samples=64),
             train=C.TrainConfig(cp_tv_weight=1e-2)),
@@ -471,6 +497,10 @@ def main():
     ap.add_argument("--save_params", action="store_true",
                     help="write qm_params_<mode>.npz after each mode "
                          "(for SDF mesh export etc.)")
+    ap.add_argument("--attempts", type=int, default=3,
+                    help="compile-failure retries per mode (use 1 for "
+                         "modes known to crash the compile helper, so "
+                         "a fallback mode in the same list runs sooner)")
     args = ap.parse_args()
 
     from human_body_reconstruction_tpu.models import mlp as mlp_lib
@@ -503,7 +533,7 @@ def main():
         # endpoints 500 together, then recover — observed 2026-08-19
         # 16:25-16:27): retry with a long backoff before recording a
         # failure, then continue with the remaining modes either way.
-        for attempt in range(3):
+        for attempt in range(args.attempts):
             try:
                 _run_mode(name, cfg, args, results, scene, train_imgs,
                           train_poses, K, hold_poses, hold_imgs, H, W)
@@ -513,7 +543,7 @@ def main():
                 traceback.print_exc()
                 results[name] = {"mode": name, "error": repr(e)[:300],
                                  "attempts": attempt + 1}
-                if attempt < 2:
+                if attempt < args.attempts - 1:
                     print(f"  [{name}] attempt {attempt + 1} failed; "
                           "sleeping 180 s before retry", flush=True)
                     time.sleep(180)

@@ -58,6 +58,12 @@ def build_parser():
                    help="Log gradient norms each log interval")
     p.add_argument("--use_sdf", action="store_true",
                    help="Use sdf formulation while training")
+    p.add_argument("--eikonal_subsample", type=int, default=None,
+                   help="eikonal point budget per step (0 = all B*S "
+                        "points, reference semantics; flagship preset "
+                        "default 16384 — the full-points SDF HLO is "
+                        "~100x larger and crashes the remote compile "
+                        "helper on TPU)")
     p.add_argument("--hierarchical", action="store_true",
                    help="Use hierarchical sampling")
     p.add_argument("--max_res", type=float, default=2048,
@@ -374,7 +380,11 @@ def make_config(args):
             occ_warmup_steps=args.occ_warmup,
             cp_tv_weight=r["cp_tv"],
             cp_tv_warmup=r["cp_tv_warmup"],
-            sigma_l1_weight=args.sigma_l1),
+            sigma_l1_weight=args.sigma_l1,
+            eikonal_subsample=(
+                args.eikonal_subsample
+                if args.eikonal_subsample is not None
+                else (16384 if args.preset == "flagship" else 0))),
     )
 
 

@@ -236,6 +236,16 @@ def render_rays(params, scene, rays_o, rays_d, dir_norm, key,
 
     if cfg.render.use_sdf:
         mid = sdf_pts.reshape(-1, 3)
+        # Subsampled eikonal (cfg.train.eikonal_subsample > 0): the
+        # regulariser's 6 finite-difference encoder evals run on a
+        # random point subset instead of all B*S points (training
+        # only; with-replacement randint — one tiny gather).  0 keeps
+        # the reference all-points semantics (helper.py:293-297).
+        n_sub = cfg.train.eikonal_subsample
+        if jitter and 0 < n_sub < mid.shape[0]:
+            k_eik = jax.random.fold_in(key, 0x5DF)
+            idx = jax.random.randint(k_eik, (n_sub,), 0, mid.shape[0])
+            mid = jnp.take(mid, idx, axis=0)
         grads = sdf_finite_difference_normals(params, scene, mid, cfg,
                                               compute_dtype=compute_dtype)
         out["eikonal_norm"] = jnp.sqrt(

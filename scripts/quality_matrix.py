@@ -428,6 +428,32 @@ def make_modes(C, dense_grid):
                                   occ_dt="mass", occ_stratified=True,
                                   use_sdf=True),
             train=C.TrainConfig(cp_tv_weight=1e-2)),
+        # Subsampled-eikonal SDF (round-4c): the eikonal term's 6
+        # finite-difference encoder evals at ALL B*S points make the
+        # SDF step the one HLO that reproducibly crashes the remote
+        # compile helper — pure-XLA impl included (qm_r4_sdf3.json),
+        # so it is module SIZE, not Mosaic.  16k eikonal points shrink
+        # the module ~100x; the pallas variant is the real flagship
+        # composition, the xla clone the safe fallback.
+        "cp_r21_sdf_guided_es16k": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=21),
+            mlp=C.MLPConfig(density_activation="sdf"),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass", occ_stratified=True,
+                                  use_sdf=True),
+            train=C.TrainConfig(cp_tv_weight=1e-2,
+                                eikonal_subsample=16384)),
+        "cp_r21_sdf_guided_xla_es16k": C.PipelineConfig(
+            hash=dataclasses.replace(cp16, cp_rank=21, cp_impl="xla",
+                                     dense_impl="xla"),
+            mlp=C.MLPConfig(density_activation="sdf"),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=64,
+                                  occ_dt="mass", occ_stratified=True,
+                                  use_sdf=True),
+            train=C.TrainConfig(cp_tv_weight=1e-2,
+                                eikonal_subsample=16384)),
         # hierarchical coarse+fine (the reference's headline sampling
         # feature, vol_renderer.py:225-244; VERDICT r3 missing #2: CPU
         # tests only) at equal wall-clock vs guided placement: 64

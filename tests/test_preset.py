@@ -31,6 +31,15 @@ def test_bare_run_is_cp_flagship():
     assert cfg.train.cp_tv_weight == 1e-2
     # ... gated until culling locks on (qm_r3_humanoid3/4.json)
     assert cfg.train.cp_tv_warmup > 0
+    # subsampled eikonal: full-points SDF HLOs crash the TPU remote
+    # compile helper (qm_r4_sdf3.json); 16k points are plenty for a
+    # regulariser
+    assert cfg.train.eikonal_subsample == 16384
+
+
+def test_reference_preset_keeps_full_eikonal():
+    cfg = _cfg(["--preset", "reference", "--use_sdf"])
+    assert cfg.train.eikonal_subsample == 0
 
 
 def test_no_occ_stratified_override():

@@ -127,6 +127,43 @@ def test_sdf_mode_runs_and_has_eikonal(dataset):
     assert float(state.params["var"]["b"]) != 0.5
 
 
+def test_sdf_eikonal_subsample(dataset):
+    """eikonal_subsample > 0 computes the eikonal residual on a random
+    point subset during TRAINING only (the full-points SDF HLO is ~100x
+    larger — it is the one module that crashes the TPU remote compile
+    helper, qm_r4_sdf3.json); eval renders and subsample=0 keep the
+    reference all-points semantics (helper.py:293-297)."""
+    import dataclasses
+
+    from human_body_reconstruction_tpu.models import nerf
+
+    cfg = small_cfg(use_sdf=True)
+    cfg = cfg_lib.PipelineConfig(
+        hash=cfg.hash, dir_enc=cfg.dir_enc,
+        mlp=cfg_lib.MLPConfig(density_activation="sdf"),
+        render=cfg.render,
+        train=dataclasses.replace(cfg.train, eikonal_subsample=64))
+    params = build(cfg, use_sdf=True)
+    scene = make_scene(dataset)
+    B, S = 128, cfg.render.num_samples
+    o = jnp.zeros((B, 3))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (B, 1))
+    nrm = jnp.ones((B,))
+    out = nerf.render_rays(params, scene, o, d, nrm,
+                           jax.random.PRNGKey(1), cfg, jitter=True)
+    assert out["eikonal_norm"].shape == (64,)
+    out_eval = nerf.render_rays(params, scene, o, d, nrm,
+                                jax.random.PRNGKey(1), cfg, jitter=False)
+    assert out_eval["eikonal_norm"].shape == (B * S,)
+    # and the training step composes end-to-end with the subsample
+    state, tx = state_lib.create_train_state(params, cfg.train, 20)
+    for _ in range(5):
+        state, m = step_lib.train_step(
+            state, scene, dataset["images"], dataset["c2ws"], dataset["K"],
+            jax.random.PRNGKey(2), cfg, tx, 256)
+    assert np.isfinite(float(m["eikonal"]))
+
+
 def test_unit_box_normalization_trains(dataset):
     cfg = small_cfg()
     cfg = cfg_lib.PipelineConfig(

@@ -198,6 +198,10 @@ def main():
                     help="comma-separated subset of modes to run (default "
                          "all); the headline is still picked from the "
                          "quality-validated candidates that ran")
+    ap.add_argument("--out", type=str, default="BENCH_local_r5.json",
+                    help="also write the result JSON here (VERDICT r4 "
+                         "item 9: the driver's stdout tail is truncated "
+                         "at 2 KB, which ate the round-4 headline line)")
     args = ap.parse_args()
     print("devices:", _wait_for_devices(), file=sys.stderr, flush=True)
     num_samples = 128
@@ -345,6 +349,30 @@ def main():
                                        occ_stratified=True),
             train=C.TrainConfig(ray_batch=32768,
                                 cp_tv_weight=1e-2)), 32768, 4, 8),
+        # ΣG-cut ladder (round 5): n_max 1024 over 7 levels halves the
+        # CP kernel's contraction width (4096 -> 2048 tight rows) — the
+        # lever the width-independence analysis points at: the W build
+        # cost is ∝ N·ΣG with NO rank dependence, and the matmul pays a
+        # C_pad=128 lane floor, so rank cuts are free but ΣG cuts are
+        # not.  r25 keeps C=125 pad-free; r50 (C_pad 256) restores the
+        # matmul width as quality insurance.  Headline candidacy gated
+        # on the qm_r5 textured holdout (>= 33 dB bar).
+        "cp_n1024_r25_guided_k32_p32_scan8_strat": (C.PipelineConfig(
+            hash=dataclasses.replace(cp_hash, num_levels=7, n_max=1024,
+                                     cp_rank=25),
+            render=dataclasses.replace(render_occ, occ_guided=True,
+                                       occ_probes=32, compact_samples=32,
+                                       occ_stratified=True),
+            train=C.TrainConfig(ray_batch=32768,
+                                cp_tv_weight=1e-2)), 32768, 4, 8),
+        "cp_n1024_r50_guided_k32_p32_scan8_strat": (C.PipelineConfig(
+            hash=dataclasses.replace(cp_hash, num_levels=7, n_max=1024,
+                                     cp_rank=50),
+            render=dataclasses.replace(render_occ, occ_guided=True,
+                                       occ_probes=32, compact_samples=32,
+                                       occ_stratified=True),
+            train=C.TrainConfig(ray_batch=32768,
+                                cp_tv_weight=1e-2)), 32768, 4, 8),
     }
 
     if args.modes:
@@ -386,7 +414,7 @@ def main():
                   "cp_r21_guided_k32_p32_scan8_strat")
     best = max((m for m in candidates if m in results), key=results.get)
     headline = results[best]
-    print(json.dumps({
+    payload = {
         "metric": f"train_rays_per_sec_chip@{num_samples}samples"
                   f"_{best}_occ{occ_fracs[best]:.2f}",
         "value": headline,
@@ -406,7 +434,17 @@ def main():
                  f"{occ_fracs[best]:.2f}); every non-exact operating "
                  "point is quality-validated on the hard textured scene "
                  "(quality_matrix.json, docs/PERF_NOTES.md)"),
-    }))
+        "quality_gate": ("headline mode quality gate: >=33 dB mean "
+                         "4-pose textured holdout at the 240 s budget "
+                         "(qm_r4_kprobe.json: 33.58 dB at p32/K=32)"),
+    }
+    line = json.dumps(payload)
+    print(line)
+    try:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"could not write {args.out}: {e!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -320,7 +320,16 @@ def resolve_preset(args):
         # qm_r3_humanoid3.json).  occ_warmup + one update cadence.
         cp_tv_warmup=(args.cp_tv_warmup if args.cp_tv_warmup is not None
                       else (args.occ_warmup + 64 if flagship else 0)),
+        # subsampled eikonal (ADVICE r4): variant-qualified like every
+        # other flagship default — a reference-leaning config (hash
+        # flags set) keeps the all-points reference semantics
+        eikonal_subsample=(args.eikonal_subsample
+                           if args.eikonal_subsample is not None
+                           else (16384 if flagship else 0)),
     )
+    if out["eikonal_subsample"] < 0:
+        raise SystemExit("--eikonal_subsample must be >= 0 "
+                         "(0 = all points, reference semantics)")
     out["occ_guided"] = (args.occ_guided or flagship) and out["occupancy"]
     # stratified inverse-CDF placement: lower-variance, makes mass-dt's
     # 1/K assumption structural, and skips the per-ray sort — +1.5 dB
@@ -381,10 +390,7 @@ def make_config(args):
             cp_tv_weight=r["cp_tv"],
             cp_tv_warmup=r["cp_tv_warmup"],
             sigma_l1_weight=args.sigma_l1,
-            eikonal_subsample=(
-                args.eikonal_subsample
-                if args.eikonal_subsample is not None
-                else (16384 if args.preset == "flagship" else 0))),
+            eikonal_subsample=r["eikonal_subsample"]),
     )
 
 

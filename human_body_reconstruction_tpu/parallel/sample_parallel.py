@@ -64,12 +64,16 @@ def make_sp_render(cfg: PipelineConfig, mesh: Mesh, num_samples: int,
     (B, 3), bit-matching the single-device deterministic render up to
     float reassociation.  The global ray count must divide the mesh's
     "data" extent; ``num_samples`` must divide its "sample" extent.
-    Density mode only (the SDF compositor's phi-ratio couples adjacent
-    samples across the segment boundary).
+
+    SDF mode (cfg.render.use_sdf): the NeuS-style phi-ratio compositor
+    (compositing.composite_sdf, reference helper.py:80-85) is also
+    segment-associative — alpha_i depends only on the ADJACENT pair
+    (phi_i, phi_{i+1}), so the segment boundary needs exactly one halo
+    value (the next segment's first phi, one ``ppermute`` hop over ICI),
+    and upstream transmittance is a strict-prefix PRODUCT of per-segment
+    (1 - alpha) products (one tiny ``all_gather``), replacing the
+    density mode's optical-depth prefix sum.
     """
-    if cfg.render.use_sdf:
-        raise NotImplementedError("sample-parallel render is density-mode "
-                                  "only")
     n_s = mesh.shape[SAMPLE_AXIS]
     if num_samples % n_s:
         raise ValueError(f"num_samples {num_samples} not divisible by "
@@ -104,6 +108,32 @@ def make_sp_render(cfg: PipelineConfig, mesh: Mesh, num_samples: int,
         if occ is not None:
             density = density * occupancy.lookup(occ, pts, scene["mu"],
                                                  scene["sigma"])
+
+        if cfg.render.use_sdf:
+            # phi-ratio alpha needs ONE neighbour phi across the chip
+            # boundary: each chip ppermutes its first phi to the chip
+            # holding the PREVIOUS segment (the halo exchange); the
+            # last chip's final alpha is 0 by definition (the reference
+            # concatenates a zero, helper.py:84)
+            b = params["var"]["b"]
+            phi = jnp.clip(compositing.jax_sigmoid(b * density), 1e-6, 1.0)
+            ratio_in = phi[:, 1:] / phi[:, :-1]              # (B, s_loc-1)
+            perm = [(i, i - 1) for i in range(1, n_s)]
+            nxt_first = jax.lax.ppermute(phi[:, 0], SAMPLE_AXIS, perm)
+            ratio_last = jnp.where(s_idx == n_s - 1, 1.0,
+                                   nxt_first / phi[:, -1])   # (B,)
+            alpha = jnp.maximum(
+                1.0 - jnp.concatenate([ratio_in, ratio_last[:, None]],
+                                      axis=-1), 0.0)         # (B, s_loc)
+            one_m = 1.0 - alpha
+            t_local = compositing.exclusive_cumprod(one_m, axis=-1)
+            c_local = jnp.sum((t_local * alpha)[..., None] * rgb, axis=-2)
+            seg_prod = jnp.prod(one_m, axis=-1)              # (B,)
+            prods = jax.lax.all_gather(seg_prod, SAMPLE_AXIS)  # (n_s, B)
+            seg = jnp.arange(n_s, dtype=s_idx.dtype)
+            t_pre = jnp.prod(jnp.where((seg < s_idx)[:, None], prods, 1.0),
+                             axis=0)                         # (B,)
+            return jax.lax.psum(t_pre[:, None] * c_local, SAMPLE_AXIS)
 
         sigma = jnp.maximum(density, cfg.render.sigma_clip_min)
         dn = jnp.reshape(dir_norm, (-1,))       # accept (B,) or (B, 1)

@@ -20,7 +20,12 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
 import time
+
+# runnable without PYTHONPATH (the --isolate parent imports the package
+# for mode-name validation before any child starts)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -118,7 +123,31 @@ def make_modes(C, dense_grid):
                           variant="cp", cp_rank=32)
     cp_l12 = dataclasses.replace(
         cp_l12, dense_levels=dense_grid.auto_dense_levels(cp_l12))
+    # ΣG-cut ladder (round 5): the CP kernel's width-independent cost is
+    # the W build (∝ N·ΣG, no C dependence) plus the matmul's
+    # C_pad=128 lane floor — so rank cuts can't speed it up but the
+    # CONTRACTION width ΣG can.  n_max 1024 over 7 levels (b=2 exactly)
+    # halves ΣG (4096 -> 2048 tight rows): the projected step is ~300k
+    # rays/s.  Rank 25 keeps C=125 pad-free at 128; rank 50 (C=250 ->
+    # pad 256) doubles the matmul width back as quality insurance while
+    # still halving the build.
+    cp_n1024 = C.HashConfig(num_levels=7, n_min=16, n_max=1024,
+                            variant="cp", cp_rank=25)
+    cp_n1024 = dataclasses.replace(
+        cp_n1024, dense_levels=dense_grid.auto_dense_levels(cp_n1024))
     return {
+        "cp_n1024_r25_guided_k32_p32_tv1e2_strat": C.PipelineConfig(
+            hash=cp_n1024,
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=32,
+                                  occ_dt="mass", occ_stratified=True),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
+        "cp_n1024_r50_guided_k32_p32_tv1e2_strat": C.PipelineConfig(
+            hash=dataclasses.replace(cp_n1024, cp_rank=50),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=32,
+                                  occ_dt="mass", occ_stratified=True),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
         "exact": C.PipelineConfig(
             hash=C.HashConfig(**h), render=C.RenderConfig(**r)),
         "cell": C.PipelineConfig(
@@ -527,7 +556,27 @@ def main():
                     help="compile-failure retries per mode (use 1 for "
                          "modes known to crash the compile helper, so "
                          "a fallback mode in the same list runs sooner)")
+    ap.add_argument("--isolate", action="store_true",
+                    help="run each mode in its OWN subprocess with a "
+                         "wall-clock deadline (--unit_timeout): a mode "
+                         "that crashes or hangs the remote compile "
+                         "helper cannot poison the modes after it, and "
+                         "partial results are merged into --out after "
+                         "every unit (VERDICT r4 item 5)")
+    ap.add_argument("--unit_timeout", type=float, default=1800.0,
+                    help="wall-clock deadline per isolated unit (s); "
+                         "covers compiles, training budget and holdout "
+                         "renders")
+    ap.add_argument("--crash_backoff", type=float, default=150.0,
+                    help="sleep after a failed isolated unit before "
+                         "launching the next (a helper crash takes all "
+                         "compile ports down for minutes — r4b trap)")
     args = ap.parse_args()
+    # --attempts 0 silently skipped the mode (ADVICE r4): clamp
+    args.attempts = max(1, args.attempts)
+
+    if args.isolate:
+        return _run_isolated(args)
 
     from human_body_reconstruction_tpu.models import mlp as mlp_lib
     from human_body_reconstruction_tpu.ops import dense_grid
@@ -551,7 +600,12 @@ def main():
     modes = make_modes(C, dense_grid)
     if args.modes:
         keep = args.modes.split(",")
-        modes = {k: v for k, v in modes.items() if k in keep}
+        unknown = [m for m in keep if m not in modes]
+        if unknown:
+            raise SystemExit(f"unknown modes {unknown}")
+        # follow the REQUESTED order (crasher-last ordering is the
+        # caller's tool against the dead-helper window — r4b trap)
+        modes = {k: modes[k] for k in keep}
 
     results = {}
     for name, cfg in modes.items():
@@ -584,6 +638,76 @@ def main():
             continue
         print(f"| {name} | {r['steps']} | {r['rays_per_sec']:.0f} | "
               f"{r['train_psnr']:.2f} | {r['holdout_psnr']:.2f} |")
+
+
+def _run_isolated(args):
+    """Per-unit subprocess isolation (VERDICT r4 item 5).
+
+    Each mode runs in its own ``quality_matrix.py --modes <one>``
+    subprocess under a wall-clock deadline: a unit that crashes the
+    remote compile helper (multi-Pallas-instance modules — CLAUDE.md
+    corollary) or hangs inside a compile RPC (the kernel-anatomy probe
+    lost 4.5 h to one) is killed and recorded, and the NEXT unit starts
+    in a fresh process with a fresh TPU client.  Results merge into
+    --out after every unit, so a dead batch still leaves evidence.
+    """
+    import subprocess
+    import sys
+
+    from human_body_reconstruction_tpu.ops import dense_grid
+    from human_body_reconstruction_tpu.utils import config as C
+
+    all_modes = make_modes(C, dense_grid)
+    names = args.modes.split(",") if args.modes else list(all_modes)
+    unknown = [m for m in names if m not in all_modes]
+    if unknown:
+        raise SystemExit(f"unknown modes {unknown}")
+
+    results = {}
+    for name in names:
+        part = f"{args.out}.{name}.part.json"
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--modes", name, "--out", part,
+               "--budget", str(args.budget), "--height", str(args.height),
+               "--views", str(args.views), "--batch", str(args.batch),
+               "--max_steps", str(args.max_steps),
+               "--scene", args.scene, "--scene_seed", str(args.scene_seed),
+               "--attempts", str(args.attempts)]
+        if args.save_params:
+            cmd.append("--save_params")
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = ":".join(
+            p for p in (repo, env.get("PYTHONPATH", "")) if p)
+        print(f"[isolate] {name} (deadline {args.unit_timeout:.0f}s)",
+              flush=True)
+        t0 = time.time()
+        failed = None
+        try:
+            proc = subprocess.run(cmd, timeout=args.unit_timeout, env=env)
+            if proc.returncode != 0:
+                failed = f"exit code {proc.returncode}"
+        except subprocess.TimeoutExpired:
+            failed = f"deadline {args.unit_timeout:.0f}s exceeded"
+        if os.path.exists(part):
+            try:
+                with open(part) as f:
+                    results.update(json.load(f))
+            except Exception as e:
+                failed = failed or f"unreadable part json: {e!r}"
+        if name not in results:
+            results[name] = {"mode": name,
+                             "error": failed or "no result recorded",
+                             "wall_s": round(time.time() - t0, 1)}
+        if failed:
+            print(f"[isolate] {name} FAILED ({failed}); backoff "
+                  f"{args.crash_backoff:.0f}s", flush=True)
+            time.sleep(args.crash_backoff)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+    ok = sum(1 for r in results.values() if "error" not in r)
+    print(f"[isolate] done: {ok}/{len(results)} green -> {args.out}",
+          flush=True)
 
 
 def _run_mode(name, cfg, args, results, scene, train_imgs, train_poses, K,

@@ -42,6 +42,14 @@ def test_reference_preset_keeps_full_eikonal():
     assert cfg.train.eikonal_subsample == 0
 
 
+def test_hash_flag_flagship_keeps_full_eikonal():
+    """ADVICE r4: a reference-leaning config (hash flags flip the
+    variant to 'corner', so every other flagship default reverts) must
+    ALSO revert eikonal_subsample to reference all-points semantics."""
+    cfg = _cfg(["--preset", "flagship", "--stochastic", "--use_sdf"])
+    assert cfg.train.eikonal_subsample == 0
+
+
 def test_no_occ_stratified_override():
     cfg = _cfg(["--no_occ_stratified"])
     assert not cfg.render.occ_stratified

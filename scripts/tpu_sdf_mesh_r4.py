@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--params", default=None,
                     help="npz path (default qm_params_<mode>.npz)")
     ap.add_argument("--resolution", type=int, default=192)
+    ap.add_argument("--iso", default="auto",
+                    help="'auto' (default; the phi-ratio-trained "
+                         "pseudo-SDF carries an arbitrary constant "
+                         "offset — a measured chip field sat entirely "
+                         "in [-0.93, -0.55], so iso=0 extracts nothing) "
+                         "or a number for the reference's fixed level")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -63,13 +69,18 @@ def main():
     params, _ = checkpoint.load_pytree(
         args.params or f"qm_params_{args.mode}.npz", template)
     out = args.out or f"sdf_mesh_{args.scene}_r4.ply"
+    try:
+        iso = float(args.iso)
+    except ValueError:
+        iso = args.iso
     stats = mesh_export.export_mesh(params, scene, cfg,
-                                    resolution=args.resolution, iso=0.0,
+                                    resolution=args.resolution, iso=iso,
                                     out_path=out)
+    row_iso = {"iso_requested": args.iso}
     row = {k: stats[k] for k in ("num_verts", "num_faces", "sweep_seconds",
                                  "marching_seconds", "out_path")}
     row.update(scene=args.scene, mode=args.mode,
-               resolution=args.resolution)
+               resolution=args.resolution, **row_iso)
     print(json.dumps(row), flush=True)
     with open(f"sdf_mesh_{args.scene}_r4.json", "w") as f:
         f.write(json.dumps(row, indent=1))

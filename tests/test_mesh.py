@@ -233,3 +233,21 @@ def test_sdf_mesh_export(tmp_path):
         "--hash_size", "12", "--max_res", "128", "--use_sdf",
         "--out", mesh_out])
     assert os.path.exists(mesh_out)
+
+
+def test_resolve_iso_auto_offset_sdf():
+    """auto iso finds the surface band of a phi-ratio-trained pseudo-SDF
+    whose values never cross zero (round-5 chip finding: the compositor
+    only constrains phi DROPS, so the field carries a constant offset)."""
+    from human_body_reconstruction_tpu.pipeline import mesh_export
+
+    rng = np.random.default_rng(0)
+    # bulk empty space at ~-0.55, a small interior blob at ~-0.93
+    field = -0.55 + 0.01 * rng.standard_normal((32, 32, 32))
+    field[12:20, 12:20, 12:20] = -0.93
+    level = mesh_export.resolve_iso(field, "auto")
+    assert -0.93 < level < -0.55
+    # numbers pass through; junk strings raise
+    assert mesh_export.resolve_iso(field, 30.0) == 30.0
+    with pytest.raises(ValueError):
+        mesh_export.resolve_iso(field, "otsu")

@@ -373,6 +373,16 @@ def main():
                                        occ_stratified=True),
             train=C.TrainConfig(ray_batch=32768,
                                 cp_tv_weight=1e-2)), 32768, 4, 8),
+        # intermediate ladder (finest line 1450, ΣG -33%): the middle
+        # rate/resolution point; headline candidacy gated on qm_r5
+        "cp_n1448_r25_guided_k32_p32_scan8_strat": (C.PipelineConfig(
+            hash=dataclasses.replace(cp_hash, num_levels=7, n_max=1448,
+                                     cp_rank=25),
+            render=dataclasses.replace(render_occ, occ_guided=True,
+                                       occ_probes=32, compact_samples=32,
+                                       occ_stratified=True),
+            train=C.TrainConfig(ray_batch=32768,
+                                cp_tv_weight=1e-2)), 32768, 4, 8),
     }
 
     if args.modes:

@@ -148,6 +148,17 @@ def make_modes(C, dense_grid):
                                   occ_guided=True, occ_probes=32,
                                   occ_dt="mass", occ_stratified=True),
             train=C.TrainConfig(cp_tv_weight=1e-2)),
+        # intermediate ladder: the r25-n1024 gate miss was concentrated
+        # on the close-range poses (29.86/30.62 vs 35.0+ orbit poses) —
+        # a finest-line resolution symptom.  n_max 1448 keeps a 1450
+        # finest line at ΣG 2736 (-33% vs flagship): the middle point
+        # of the rate/resolution trade.
+        "cp_n1448_r25_guided_k32_p32_tv1e2_strat": C.PipelineConfig(
+            hash=dataclasses.replace(cp_n1024, n_max=1448),
+            render=C.RenderConfig(**r, **occ_kw, compact_samples=32,
+                                  occ_guided=True, occ_probes=32,
+                                  occ_dt="mass", occ_stratified=True),
+            train=C.TrainConfig(cp_tv_weight=1e-2)),
         "exact": C.PipelineConfig(
             hash=C.HashConfig(**h), render=C.RenderConfig(**r)),
         "cell": C.PipelineConfig(

@@ -422,10 +422,14 @@ def main():
                   # qm_r4_kprobe.json: 33.58 dB at p32/K=32 — quality
                   # bar held, so the probe cut is headline-eligible
                   "cp_r21_guided_k32_p32_scan8_strat",
-                  # qm_r5_n1024.json: 33.81 dB (the repo record) — the
+                  # qm_r5_n1024.json: 33.81 dB (then the record) — the
                   # sum_G-cut r50 point passes the >=33 dB gate; the
                   # faster r25 point (32.66) does NOT and stays out
-                  "cp_n1024_r50_guided_k32_p32_scan8_strat")
+                  "cp_n1024_r50_guided_k32_p32_scan8_strat",
+                  # qm_r5_n1448.json: 33.84 dB — the intermediate
+                  # ladder passes the gate with the best holdout yet at
+                  # +16% in-trainer rate over the r21 flagship
+                  "cp_n1448_r25_guided_k32_p32_scan8_strat")
     best = max((m for m in candidates if m in results), key=results.get)
     headline = results[best]
     payload = {

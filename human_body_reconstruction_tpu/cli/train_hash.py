@@ -66,8 +66,10 @@ def build_parser():
                         "helper on TPU)")
     p.add_argument("--hierarchical", action="store_true",
                    help="Use hierarchical sampling")
-    p.add_argument("--max_res", type=float, default=2048,
-                   help="Max resolution of the grid")
+    p.add_argument("--max_res", type=float, default=None,
+                   help="Max resolution of the grid (default: 1448 "
+                        "under the flagship preset — the round-5 "
+                        "sum-G-cut ladder; 2048 reference)")
     p.add_argument("--hash_size", type=float, default=16,
                    help="Log Size of the hash table")
     p.add_argument("--model_name", type=str, default="default",
@@ -285,15 +287,19 @@ def resolve_preset(args):
     flagship = args.preset == "flagship" and variant == "cp"
     out = dict(
         variant=variant,
+        # round-5 flagship ladder: the CP kernel anatomy probe showed
+        # the encode cost is the contraction width sum_G (the W build
+        # has no rank dependence and the matmul pays a 128-lane floor),
+        # so a 7-level n_max=1448 ladder (-33% sum_G, finest line 1450)
+        # at rank 25 (C=125, pad-free) is +16% rate AND the quality
+        # record: 33.84 dB textured / 42.10 humanoid 4-pose holdout,
+        # 251.5k rays/s bench (qm_r5_n1448*.json, BENCH_local_r5.json)
         num_levels=(args.num_levels if args.num_levels is not None
-                    else (8 if flagship else 16)),
-        # rank 21 is the pad-free sweet spot: 6 CP levels x 21 = 126
-        # output columns pad to the same 128-lane tiles as rank 16, so
-        # r21 runs at r16's rate (+31% capacity free) and holds 33.43 dB
-        # mean 4-pose textured holdout at 2.3x r32's rate
-        # (qm_r3_textured6.json — the round-3 batch-I decision)
+                    else (7 if flagship else 16)),
+        max_res=(args.max_res if args.max_res is not None
+                 else (1448 if flagship else 2048)),
         cp_rank=(args.cp_rank if args.cp_rank is not None
-                 else (21 if flagship else 16)),
+                 else (25 if flagship else 16)),
         dense_levels=(args.dense_levels if args.dense_levels is not None
                       else (-1 if flagship else 0)),
         num_samples=(args.num_samples if args.num_samples is not None
@@ -346,7 +352,7 @@ def make_config(args):
     from human_body_reconstruction_tpu.utils import config as C
 
     r = resolve_preset(args)
-    hcfg = C.HashConfig(n_max=int(args.max_res),
+    hcfg = C.HashConfig(n_max=int(r["max_res"]),
                         log2_table_size=int(args.hash_size),
                         num_levels=r["num_levels"],
                         features_per_level=args.features_per_level,

@@ -12,10 +12,12 @@ def _cfg(argv):
 def test_bare_run_is_cp_flagship():
     cfg = _cfg([])
     assert cfg.hash.variant == "cp"
-    # rank 21 = the pad-free point: r16's FLOPs, 33.43 dB mean 4-pose
-    # textured holdout at 2.3x r32's rate (qm_r3_textured6.json)
-    assert cfg.hash.cp_rank == 21
-    assert cfg.hash.num_levels == 8
+    # round-5 flagship: 7-level n_max=1448 sum-G-cut ladder at rank 25
+    # (C=125 pad-free) — 251.5k rays/s bench at the 33.84 dB textured /
+    # 42.10 dB humanoid holdout records (qm_r5_n1448*.json)
+    assert cfg.hash.cp_rank == 25
+    assert cfg.hash.num_levels == 7
+    assert cfg.hash.n_max == 1448
     assert cfg.hash.dense_levels > 0          # auto-selected
     assert cfg.render.num_samples == 128
     assert cfg.render.occupancy and cfg.render.occ_guided

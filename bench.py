@@ -408,6 +408,15 @@ def main():
         if cfg.hash.variant == "cp":
             rooflines[name] = cp_step_roofline(
                 cfg, rate, cfg.render.compact_samples, peak)
+        # checkpoint after every mode: a killed/timed-out run still
+        # leaves its measurements on disk (the final write replaces
+        # this with the full payload + headline)
+        try:
+            with open(args.out, "w") as f:
+                json.dump({"partial": True, "modes": results,
+                           "occ_fracs": occ_fracs}, f)
+        except OSError:
+            pass
 
     # headline candidates are quality-validated operating points ONLY
     # (cp_guided_k32_scan8 validated by qm_cp.json / qm_cp_sweep.json:
